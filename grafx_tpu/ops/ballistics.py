@@ -1,0 +1,112 @@
+"""Attack/release ballistics smoothing with a custom VJP.
+
+TPU-native replacement for ``torchcomp.compressor_core`` (used by the
+reference at src/grafx/processors/core/envelope.py:63-101).  Semantics
+follow torchcomp: with smoothing factors ``at`` (attack) and ``rt``
+(release) and initial state ``zi``,
+
+    y[n] = (1 - c[n]) * y[n-1] + c[n] * u[n],
+    c[n] = at  if u[n] > y[n-1]  else  rt.
+
+The per-sample coefficient choice depends on the running state, so the
+forward pass is a true sequential recursion (not associative).  We provide:
+
+* a ``lax.scan`` forward (works on any backend; used for CPU tests), and
+* a Pallas TPU kernel that runs the recursion on-chip with the channel
+  batch across vector lanes (grafx_tpu/ops/ballistics_tpu.py).
+
+The backward pass is *linear* once the forward decisions are fixed, so it
+is a parallel ``associative_scan`` — no sequential kernel needed for
+gradients (decisions are treated as constants, matching torchcomp's
+hand-derived backward).  The decisions themselves are recomputed in the
+backward from the saved outputs (``attack[n] = u[n] > y[n-1]``), so the
+forward does not need to materialize a mask.
+"""
+
+import jax
+import jax.numpy as jnp
+
+_FORCE_BACKEND = None  # None = auto, "scan", "pallas"
+
+
+def set_backend(name):
+    """Force the forward backend: ``None`` (auto), ``"scan"``, ``"pallas"``."""
+    global _FORCE_BACKEND
+    _FORCE_BACKEND = name
+
+
+def _use_pallas():
+    if _FORCE_BACKEND == "scan":
+        return False
+    if _FORCE_BACKEND == "pallas":
+        return True
+    # 'axon' is the tunneled single-chip TPU platform name.
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _forward_scan(u, zi, at, rt):
+    def step(y_prev, u_n):
+        c = jnp.where(u_n > y_prev, at, rt)
+        y = y_prev + c * (u_n - y_prev)
+        return y, y
+
+    _, y = jax.lax.scan(step, zi, u.T)
+    return y.T
+
+
+def _forward(u, zi, at, rt):
+    if _use_pallas():
+        from grafx_tpu.ops.ballistics_tpu import forward_pallas
+
+        return forward_pallas(u, zi, at, rt)
+    return _forward_scan(u, zi, at, rt)
+
+
+@jax.custom_vjp
+def ballistics_core(u, zi, at, rt):
+    """Attack/release one-pole smoother.
+
+    Args:
+        u: ``(N, L)`` input envelopes.
+        zi: ``(N,)`` initial conditions.
+        at: ``(N,)`` attack smoothing factor in ``(0, 1)``.
+        rt: ``(N,)`` release smoothing factor in ``(0, 1)``.
+
+    Returns:
+        ``(N, L)`` smoothed envelopes.
+    """
+    return _forward(u, zi, at, rt)
+
+
+def _ballistics_fwd(u, zi, at, rt):
+    y = _forward(u, zi, at, rt)
+    return y, (u, y, zi, at, rt)
+
+
+def _ballistics_bwd(res, g):
+    u, y, zi, at, rt = res
+    y_prev = jnp.concatenate([zi[:, None], y[:, :-1]], axis=1)
+    attack = u > y_prev
+    c = jnp.where(attack, at[:, None], rt[:, None])  # (N, L)
+
+    # Adjoint recursion (reverse time):  gh[n] = g[n] + (1 - c[n+1]) gh[n+1].
+    # Linear with known coefficients -> parallel suffix scan over affine
+    # maps (a, b): s -> a * s + b, composed right-to-left.
+    a = jnp.concatenate([1.0 - c[:, 1:], jnp.zeros_like(c[:, :1])], axis=1)
+
+    def combine(inner, outer):
+        a_i, b_i = inner
+        a_o, b_o = outer
+        return a_o * a_i, a_o * b_i + b_o
+
+    _, gh = jax.lax.associative_scan(combine, (a, g), axis=1, reverse=True)
+
+    du = c * gh
+    dc = (u - y_prev) * gh
+    dat = jnp.sum(jnp.where(attack, dc, 0.0), axis=1)
+    drt = jnp.sum(jnp.where(attack, 0.0, dc), axis=1)
+    dzi = (1.0 - c[:, 0]) * gh[:, 0]
+    return du, dzi, dat, drt
+
+
+ballistics_core.defvjp(_ballistics_fwd, _ballistics_bwd)

@@ -1,0 +1,76 @@
+"""FFT-based convolution primitives.
+
+TPU-native replacement for the reference's FIR convolution backend
+(reference: src/grafx/processors/core/convolution.py:109-134) and its
+optional FlashFFTConv CUDA fast path.  On TPU, XLA's rfft/irfft are native
+and fuse with the surrounding elementwise work, so a single code path
+suffices; we default to power-of-two FFT lengths, which XLA tiles best.
+"""
+
+import jax.numpy as jnp
+
+
+def next_pow2(n: int) -> int:
+    """Smallest power of two >= n."""
+    return 1 << (int(n) - 1).bit_length()
+
+
+def compute_pad_len(x_len: int, h_len: int, pad_mode: str = "pow2") -> int:
+    """FFT length for a full linear convolution of lengths ``x_len`` and
+    ``h_len`` (reference: core/convolution.py:109-117)."""
+    full = x_len + h_len - 1
+    if pad_mode == "pow2":
+        return next_pow2(full)
+    elif pad_mode == "min":
+        return full
+    raise ValueError(f"Unsupported pad_mode: {pad_mode}")
+
+
+def fft_convolve(x, h, mode: str = "zerophase", pad_mode: str = "pow2"):
+    """Batched linear convolution via real FFT.
+
+    Args:
+        x: input signals ``(..., L_x)``; leading dims broadcast against ``h``.
+        h: FIR filters ``(..., L_h)``.
+        mode: ``"causal"`` keeps ``y[..., :L_x]``; ``"zerophase"`` keeps a
+            window centered at ``L_h // 2`` (reference:
+            core/convolution.py:119-134); ``"full"`` returns the whole
+            padded product.
+        pad_mode: ``"pow2"`` (TPU-friendly) or ``"min"``.
+
+    Returns:
+        Convolved signals of length ``L_x`` (for causal/zerophase) with
+        broadcast leading dims, e.g. channel broadcasting between a mono
+        filter and a stereo signal.
+    """
+    x_len, h_len = x.shape[-1], h.shape[-1]
+    n = compute_pad_len(x_len, h_len, pad_mode)
+    X = jnp.fft.rfft(x, n=n)
+    H = jnp.fft.rfft(h, n=n)
+    y = jnp.fft.irfft(X * H, n=n)
+    if mode == "zerophase":
+        start = h_len // 2
+        return y[..., start : start + x_len]
+    elif mode == "causal":
+        return y[..., :x_len]
+    elif mode == "full":
+        return y
+    raise ValueError(f"Unsupported convolution mode: {mode}")
+
+
+class FIRConvolution:
+    """A stateless FIR convolution 'module' mirroring the reference API
+    (reference: core/convolution.py:17-106).
+
+    The ``flashfftconv`` / ``max_input_len`` arguments of the reference are
+    accepted and ignored: on TPU the XLA FFT path *is* the fast path.
+    """
+
+    def __init__(self, mode="causal", pad_mode="pow2", **_ignored_backend_kwargs):
+        if mode not in ("causal", "zerophase"):
+            raise ValueError(f"Unsupported convolution mode: {mode}")
+        self.mode = mode
+        self.pad_mode = pad_mode
+
+    def __call__(self, input_signals, fir):
+        return fft_convolve(input_signals, fir, mode=self.mode, pad_mode=self.pad_mode)

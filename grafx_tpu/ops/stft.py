@@ -1,0 +1,97 @@
+"""STFT / inverse STFT with torch-compatible conventions.
+
+Used by the masked-noise reverb (reference:
+src/grafx/processors/reverb.py:101-187, which relies on ``torch.stft`` /
+``torch.istft``).  Conventions matched: ``center=True`` with reflect
+padding, periodic windows, and iSTFT synthesis normalized by the summed
+squared window envelope.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def stft(x, n_fft: int, hop_length: int, window):
+    """Short-time Fourier transform.
+
+    Args:
+        x: ``(..., L)`` real signals.
+        window: length ``n_fft`` array.
+
+    Returns:
+        Complex spectrogram ``(..., n_fft // 2 + 1, num_frames)`` with
+        ``num_frames = 1 + L // hop_length`` (center=True convention).
+    """
+    L = x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+    xp = jnp.pad(x, pad, mode="reflect")
+    num_frames = 1 + L // hop_length
+    starts = jnp.arange(num_frames) * hop_length
+    idx = starts[:, None] + jnp.arange(n_fft)[None, :]
+    frames = xp[..., idx] * window  # (..., num_frames, n_fft)
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    return jnp.swapaxes(spec, -1, -2)
+
+
+def istft(spec, n_fft: int, hop_length: int, window, length: int):
+    """Inverse STFT via windowed overlap-add (torch.istft convention).
+
+    Args:
+        spec: ``(..., n_fft // 2 + 1, num_frames)`` complex spectrogram.
+        length: output length (center padding removed).
+    """
+    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
+    frames = frames * window  # (..., num_frames, n_fft)
+    num_frames = frames.shape[-2]
+    total = n_fft + hop_length * (num_frames - 1)
+
+    starts = jnp.arange(num_frames) * hop_length
+    idx = (starts[:, None] + jnp.arange(n_fft)[None, :]).reshape(-1)
+
+    batch_shape = frames.shape[:-2]
+    flat = frames.reshape((-1, num_frames * n_fft))
+    y = jnp.zeros((flat.shape[0], total), dtype=frames.dtype)
+    y = y.at[:, idx].add(flat)
+    y = y.reshape(batch_shape + (total,))
+
+    wsq = jnp.zeros((total,), dtype=frames.dtype)
+    wsq = wsq.at[idx].add(jnp.tile(window * window, num_frames))
+    y = y / jnp.maximum(wsq, 1e-11)
+
+    start = n_fft // 2
+    return y[..., start : start + length]
+
+
+def hann_window(n: int, periodic: bool = True):
+    """Periodic Hann window (torch.hann_window convention)."""
+    denom = n if periodic else n - 1
+    t = np.arange(n)
+    return 0.5 * (1.0 - np.cos(2.0 * np.pi * t / denom))
+
+
+def get_window(window_type, window_length: int, **kwargs):
+    """Window factory (reference: core/fir.py:7-22).
+
+    Returns a numpy array, or ``None`` for rectangular windows.
+    """
+    import scipy.signal
+
+    if window_type in ("rectangular", "none", "boxcar", None):
+        return None
+    match window_type:
+        case "hann":
+            return hann_window(window_length)
+        case "hamming":
+            t = np.arange(window_length)
+            return 0.54 - 0.46 * np.cos(2 * np.pi * t / window_length)
+        case "blackman":
+            t = 2 * np.pi * np.arange(window_length) / window_length
+            return 0.42 - 0.5 * np.cos(t) + 0.08 * np.cos(2 * t)
+        case "bartlett":
+            t = np.arange(window_length)
+            return 1.0 - np.abs(2.0 * t / window_length - 1.0)
+        case "kaiser":
+            beta = kwargs.get("beta", 12.0)
+            return np.kaiser(window_length + 1, beta)[:-1]
+        case _:
+            raise ValueError(f"Unsupported window type: {window_type}")

@@ -1,0 +1,43 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grafx_tpu.ops import fft_convolve
+
+
+@pytest.mark.parametrize("pad_mode", ["pow2", "min"])
+@pytest.mark.parametrize("x_len,h_len", [(1000, 101), (256, 256), (500, 33)])
+def test_causal_matches_numpy(x_len, h_len, pad_mode):
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, x_len).astype(np.float32)
+    h = rng.randn(2, 3, h_len).astype(np.float32)
+    y = fft_convolve(jnp.array(x), jnp.array(h), mode="causal", pad_mode=pad_mode)
+    ref = np.stack(
+        [
+            np.stack(
+                [np.convolve(x[b, c], h[b, c])[:x_len] for c in range(3)]
+            )
+            for b in range(2)
+        ]
+    )
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_zerophase_crop():
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 1, 300).astype(np.float32)
+    h = rng.randn(1, 1, 101).astype(np.float32)
+    y = fft_convolve(jnp.array(x), jnp.array(h), mode="zerophase")
+    full = np.convolve(x[0, 0], h[0, 0])
+    ref = full[101 // 2 : 101 // 2 + 300]
+    np.testing.assert_allclose(np.asarray(y)[0, 0], ref, rtol=1e-4, atol=1e-4)
+
+
+def test_channel_broadcasting():
+    rng = np.random.RandomState(2)
+    x = rng.randn(4, 1, 200).astype(np.float32)  # mono input
+    h = rng.randn(4, 2, 50).astype(np.float32)  # stereo filter
+    y = fft_convolve(jnp.array(x), jnp.array(h), mode="causal")
+    assert y.shape == (4, 2, 200)
+    ref = np.convolve(x[0, 0], h[0, 1])[:200]
+    np.testing.assert_allclose(np.asarray(y)[0, 1], ref, rtol=1e-4, atol=1e-4)
