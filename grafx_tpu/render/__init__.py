@@ -1,0 +1,14 @@
+"""Render engine: scheduling, plan compilation, and the jitted executor."""
+
+from grafx_tpu.render.graph import make_render_fn, render_grafx
+from grafx_tpu.render.order import compute_render_order, reorder_for_fast_render
+from grafx_tpu.render.prepare import RenderData, prepare_render
+
+__all__ = [
+    "RenderData",
+    "compute_render_order",
+    "make_render_fn",
+    "prepare_render",
+    "render_grafx",
+    "reorder_for_fast_render",
+]

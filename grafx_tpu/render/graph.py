@@ -1,0 +1,179 @@
+"""The render executor: run a static render plan as one XLA program.
+
+Behavioral parity with the reference ``render_grafx``
+(reference: src/grafx/render/graph.py:16-177), re-designed for TPU:
+
+* The plan (:class:`RenderData`) is static — the Python loop over stages
+  unrolls at trace time into a single XLA graph, so the per-stage host
+  dispatch of the reference disappears entirely under ``jax.jit``.
+* The signal buffer is functional; static-index updates lower to in-place
+  dynamic-update-slices.
+* ``parameters_grad`` / ``input_signal_grad`` flags are unnecessary: JAX
+  differentiates whatever you ask it to (``jax.grad`` w.r.t. parameters
+  and/or signals); they are accepted and ignored for API familiarity.
+
+Use :func:`make_render_fn` for a cached, jitted closure over (processors,
+plan) — the recommended hot-loop entry point.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from grafx_tpu.data.configs import UTILITY_TYPES
+from grafx_tpu.render.core import (
+    aggregate_tensor,
+    create_signal_buffer,
+    expand_tensor_or_tensor_dict,
+    flatten_batch_and_node,
+    read_tensor_or_tensor_dict,
+    write_tensor,
+)
+
+
+def render_grafx(
+    processors,
+    input_signals,
+    per_type_parameters,
+    render_data,
+    common_parameters=None,
+    parameters_grad=True,  # accepted for API parity; unused in JAX
+    input_signal_grad=False,  # accepted for API parity; unused in JAX
+):
+    """Render an audio graph.
+
+    Args:
+        processors: dict mapping node-type name to a processor callable
+            ``f(*signals, **params) -> signals [, intermediates]``.
+        input_signals: ``(|V_0|, C, L)`` or ``(B, |V_0|, C, L)`` array.
+        per_type_parameters: nested dict pytree, type -> name -> array
+            whose dim 0 is the node batch.
+        render_data: the static :class:`RenderData` plan.
+        common_parameters: optional tensor/dict with dim-0 size ``|V|``
+            shared across all node types.
+
+    Returns:
+        ``(output_signals, intermediates_list, signal_buffer)``.
+    """
+    method = render_data.method
+    ndim = input_signals.ndim
+    if ndim == 3:
+        node_dim = 0
+        postprocess = None
+    elif ndim == 4:
+        batch_size, _, channels, audio_len = input_signals.shape
+        node_dim = 1
+        postprocess = flatten_batch_and_node
+        per_type_parameters = expand_tensor_or_tensor_dict(
+            per_type_parameters, expand=batch_size, dim=0
+        )
+        if common_parameters is not None:
+            common_parameters = expand_tensor_or_tensor_dict(
+                common_parameters, expand=batch_size, dim=0
+            )
+    else:
+        raise ValueError(
+            f"input_signals has {ndim} dims; expected 3 or 4."
+        )
+
+    num_sources = render_data.iter_list[0].dest_write.num_rows
+    if input_signals.shape[node_dim] != num_sources:
+        raise ValueError(
+            f"Expected {num_sources} input signals (the graph's 'in' nodes),"
+            f" got {input_signals.shape[node_dim]}."
+        )
+
+    signal_buffer = create_signal_buffer(
+        method, render_data.num_buffers, input_signals
+    )
+
+    intermediates_list = []
+    output_signals = None
+
+    for i in range(1, render_data.max_order + 1):
+        stage = render_data.iter_list[i]
+
+        stage_inputs = []
+        for read, aggregate in zip(stage.source_reads, stage.aggregations):
+            sig = read_tensor_or_tensor_dict(signal_buffer, read, dim=node_dim)
+            sig = aggregate_tensor(sig, aggregate, dim=node_dim)
+            if ndim == 4 and not isinstance(signal_buffer, list):
+                sig = flatten_batch_and_node(sig)
+            stage_inputs.append(sig)
+
+        node_type = stage.node_type
+        if node_type in processors:
+            parameters = read_tensor_or_tensor_dict(
+                per_type_parameters.get(node_type, {}),
+                stage.parameter_read,
+                dim=node_dim,
+                postprocess=postprocess,
+            )
+            if common_parameters is not None:
+                common_i = read_tensor_or_tensor_dict(
+                    common_parameters,
+                    stage.dest_write,
+                    dim=node_dim,
+                    postprocess=postprocess,
+                )
+            else:
+                common_i = {}
+            output = processors[node_type](*stage_inputs, **parameters, **common_i)
+            if isinstance(output, tuple):
+                output_signals, intermediates = output
+                intermediates_list.append(intermediates)
+            else:
+                output_signals = output
+        elif node_type in UTILITY_TYPES:
+            output_signals = stage_inputs
+        else:
+            raise ValueError(f"Wrong node type given: {node_type}")
+
+        if isinstance(output_signals, list):
+            if len(output_signals) == 1:
+                output_signals = output_signals[0]
+            else:
+                # per-node outlets become contiguous buffer rows
+                stacked = jnp.stack(output_signals, axis=-3)
+                output_signals = stacked.reshape(
+                    (-1,) + stacked.shape[-2:]
+                )
+
+        if ndim == 4 and not isinstance(signal_buffer, list):
+            output_signals = output_signals.reshape(
+                (batch_size, -1, channels, audio_len)
+            )
+
+        signal_buffer = write_tensor(
+            method, signal_buffer, output_signals, stage.dest_write, dim=node_dim
+        )
+
+    return output_signals, intermediates_list, signal_buffer
+
+
+def make_render_fn(processors, render_data, jit=True, donate_buffer=False):
+    """Build a render closure over static (processors, plan).
+
+    The returned function has signature
+    ``f(input_signals, per_type_parameters, common_parameters=None)`` and
+    is jit-compiled once per (plan, shapes) pair.
+
+    Args:
+        processors: type -> processor callable mapping (static).
+        render_data: static :class:`RenderData` plan.
+        jit: wrap in ``jax.jit``.
+    """
+
+    def render_fn(input_signals, per_type_parameters, common_parameters=None):
+        return render_grafx(
+            processors,
+            input_signals,
+            per_type_parameters,
+            render_data,
+            common_parameters=common_parameters,
+        )
+
+    if jit and render_data.method != "one-by-one":
+        return jax.jit(render_fn)
+    return render_fn

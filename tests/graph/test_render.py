@@ -1,0 +1,169 @@
+"""End-to-end render tests.
+
+Mirrors the reference integration fixture
+(reference: tests/graph/test_render.py:13-37) using SISO gain chains, and
+adds gradient and jit checks (the TPU build's core promise: the whole
+graph render is one differentiable XLA program).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grafx_tpu.data import GRAFX, NodeConfigs, convert_to_tensor
+from grafx_tpu.processors import StereoGain, StereoToMidSide, MidSideToStereo
+from grafx_tpu.render import (
+    make_render_fn,
+    prepare_render,
+    render_grafx,
+    reorder_for_fast_render,
+)
+from grafx_tpu.utils import create_empty_parameters
+
+
+def build_gain_graph(num_sources=3):
+    config = NodeConfigs(["gain"])
+    G = GRAFX(config=config)
+    ends = []
+    for _ in range(num_sources):
+        _, last = G.add_serial_chain(["in", "gain"])
+        ends.append(last)
+    mix = G.add("mix")
+    for e in ends:
+        G.connect(e, mix)
+    out = G.add("out")
+    G.connect(mix, out)
+    return G
+
+
+@pytest.mark.parametrize("method", ["greedy", "beam"])
+def test_render_gain_graph(method):
+    G = build_gain_graph()
+    processors = {"gain": StereoGain()}
+    G_t = reorder_for_fast_render(convert_to_tensor(G), method=method)
+    render_data = prepare_render(G_t)
+    parameters = create_empty_parameters(processors, G)
+
+    x = jnp.ones((3, 2, 2**10))
+    out, intermediates, buffer = render_grafx(
+        processors, x, parameters, render_data
+    )
+    assert out.shape == (1, 2, 2**10)
+    assert buffer.shape == (G_t.num_nodes, 2, 2**10)
+    assert not jnp.isnan(out).any()
+
+    # manual check: out = sum_i exp(g_i) * x_i
+    gains = np.exp(np.asarray(parameters["gain"]["log_gain"]))
+    expected = gains.sum(0)[:, None] * np.ones((2, 2**10))
+    np.testing.assert_allclose(np.asarray(out[0]), expected, rtol=1e-5)
+
+
+def test_render_batched_4dim():
+    G = build_gain_graph()
+    processors = {"gain": StereoGain()}
+    G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
+    render_data = prepare_render(G_t)
+    parameters = create_empty_parameters(processors, G)
+
+    B = 4
+    x = jnp.ones((B, 3, 2, 2**9))
+    out, _, buffer = render_grafx(processors, x, parameters, render_data)
+    assert out.shape == (B, 1, 2, 2**9)
+    # every batch row identical (same params)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[1]))
+
+
+def test_render_grad_and_jit():
+    G = build_gain_graph()
+    processors = {"gain": StereoGain()}
+    G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
+    render_data = prepare_render(G_t)
+    parameters = create_empty_parameters(processors, G)
+    render_fn = make_render_fn(processors, render_data)
+
+    x = jnp.ones((3, 2, 2**9))
+    target = 2.0 * jnp.ones((1, 2, 2**9))
+
+    def loss_fn(params):
+        out, _, _ = render_fn(x, params)
+        return jnp.mean((out - target) ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(parameters)
+    g = np.asarray(grads["gain"]["log_gain"])
+    assert g.shape == (3, 2)
+    assert (np.abs(g) > 0).all()
+
+    # a couple of optimizer steps reduce the loss
+    params = parameters
+    for _ in range(50):
+        l, grads = jax.value_and_grad(loss_fn)(params)
+        params = jax.tree.map(lambda p, g: p - 0.5 * g, params, grads)
+    assert loss_fn(params) < loss
+
+
+def test_render_one_by_one_matches_batched():
+    G = build_gain_graph()
+    processors = {"gain": StereoGain()}
+    parameters = create_empty_parameters(processors, G)
+    x = jnp.ones((3, 2, 2**9))
+
+    outs = {}
+    for method in ["beam", "one-by-one"]:
+        G_t = reorder_for_fast_render(convert_to_tensor(G), method=method)
+        render_data = prepare_render(G_t)
+        out, _, _ = render_grafx(processors, x, parameters, render_data)
+        outs[method] = np.asarray(out).reshape(2, -1)
+    np.testing.assert_allclose(outs["beam"], outs["one-by-one"], rtol=1e-5)
+
+
+class _Splitter:
+    """Two-outlet test processor: splits into complementary gain bands
+    (each outlet keeps the full channel count, like a crossover)."""
+
+    def __call__(self, input_signals):
+        return [0.25 * input_signals, 0.75 * input_signals]
+
+    def parameter_size(self):
+        return {}
+
+
+class _TwoInMixer:
+    """Two-inlet test processor: weighted sum of its inlets."""
+
+    def __call__(self, a, b):
+        return a + b
+
+    def parameter_size(self):
+        return {}
+
+
+def test_render_mimo_split_and_merge():
+    config = NodeConfigs(
+        {
+            "split": {"inlets": ["main"], "outlets": ["low", "high"]},
+            "merge": {"inlets": ["a", "b"], "outlets": ["main"]},
+        }
+    )
+    G = GRAFX(config=config)
+    i = G.add("in")
+    a = G.add("split")
+    b = G.add("merge")
+    o = G.add("out")
+    G.connect(i, a)
+    G.connect(a, b, outlet="low", inlet="a")
+    G.connect(a, b, outlet="high", inlet="b")
+    G.connect(b, o)
+
+    processors = {"split": _Splitter(), "merge": _TwoInMixer()}
+    G_t = reorder_for_fast_render(convert_to_tensor(G), method="greedy")
+    render_data = prepare_render(G_t)
+    assert not render_data.siso_only
+    # buffer rows = total outlets: in(1) + split(2) + merge(1) + out(0)
+    assert render_data.num_buffers == 4
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, 2, 2**9))
+    out, _, _ = render_grafx(processors, x, {}, render_data)
+    # split into 0.25x + 0.75x then summed back: identity
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
