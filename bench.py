@@ -1,0 +1,151 @@
+"""Headline benchmark: 100-node mixing-console graph, fwd+bwd grad step.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "audio-sec/sec/chip", "vs_baseline": N}
+
+Workload (BASELINE.md config 5): a ~100-node heterogeneous music-mixing
+graph — 12 source chains of (eq -> compressor -> multitap-ish gain ->
+reverb-send), two bus chains, and a master chain — rendered on 44.1 kHz
+stereo, 2^17 samples per source, with a full gradient step (forward +
+backward over all node parameters).
+
+``vs_baseline`` is measured against a same-machine GRAFX-style PyTorch
+CPU estimate when available; since no published reference numbers exist
+(see BASELINE.md), we report the ratio against the fixed anchor of
+44.1 kHz real-time (value == audio-sec/sec/chip => vs_baseline is
+value / REALTIME_ANCHOR, i.e. how many x faster than real-time the full
+grad step runs).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from grafx_tpu.data import GRAFX, NodeConfigs, convert_to_tensor
+from grafx_tpu.processors import (
+    Compressor,
+    GraphicEqualizer,
+    NoiseGate,
+    ParametricEqualizer,
+    STFTMaskedNoiseReverb,
+    StereoGain,
+    TanhDistortion,
+)
+from grafx_tpu.render import make_render_fn, prepare_render, reorder_for_fast_render
+from grafx_tpu.utils import create_empty_parameters
+
+SR = 44100
+AUDIO_LEN = 2**17
+NUM_CHAINS = 14
+REALTIME_ANCHOR = 1.0  # audio-sec/sec == real-time
+
+
+def build_mix_graph():
+    """~100-node console: per-source chains + two buses + master."""
+    config = NodeConfigs(
+        ["eq", "geq", "compressor", "noisegate", "gain", "dist", "reverb"]
+    )
+    G = GRAFX(config=config)
+    chain_ends = []
+    for i in range(NUM_CHAINS):
+        chain = ["in", "eq", "compressor", "gain"]
+        if i % 3 == 0:
+            chain.insert(2, "noisegate")
+        if i % 4 == 0:
+            chain.append("dist")
+        if i % 2 == 0:
+            chain.insert(2, "geq")
+        _, last = G.add_serial_chain(chain)
+        chain_ends.append(last)
+
+    # two subgroup buses with processing, plus a shared reverb send
+    bus_ends = []
+    for half in (chain_ends[: NUM_CHAINS // 2], chain_ends[NUM_CHAINS // 2 :]):
+        mix = G.add("mix")
+        for e in half:
+            G.connect(e, mix)
+        bus_first, bus_end = G.add_serial_chain(["geq", "compressor"])
+        G.connect(mix, bus_first)
+        bus_ends.append(bus_end)
+
+    send_mix = G.add("mix")
+    for e in bus_ends:
+        G.connect(e, send_mix)
+    rev = G.add("reverb")
+    G.connect(send_mix, rev)
+
+    master = G.add("mix")
+    for e in bus_ends:
+        G.connect(e, master)
+    G.connect(rev, master)
+    master_first, master_end = G.add_serial_chain(["eq", "gain"])
+    G.connect(master, master_first)
+    out = G.add("out")
+    G.connect(master_end, out)
+    return G
+
+
+def main():
+    G = build_mix_graph()
+    num_nodes = G.number_of_nodes()
+
+    processors = {
+        "eq": ParametricEqualizer(num_filters=6, backend="exact"),
+        "geq": GraphicEqualizer(scale="bark", backend="exact"),
+        "compressor": Compressor(energy_smoother="ballistics"),
+        "noisegate": NoiseGate(energy_smoother="iir", iir_len=16384),
+        "gain": StereoGain(),
+        "dist": TanhDistortion(),
+        "reverb": STFTMaskedNoiseReverb(ir_len=30000),
+    }
+
+    G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
+    plan = prepare_render(G_t)
+    params = create_empty_parameters(processors, G, key=jax.random.PRNGKey(0))
+    render = make_render_fn(processors, plan)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (NUM_CHAINS, 2, AUDIO_LEN))
+    target = jax.random.normal(jax.random.PRNGKey(2), (1, 2, AUDIO_LEN))
+
+    @jax.jit
+    def grad_step(p):
+        def loss_fn(p):
+            out, _, _ = render(x, p)
+            return jnp.mean((out - target) ** 2)
+
+        return jax.value_and_grad(loss_fn)(p)
+
+    # compile + warmup
+    (loss, grads) = grad_step(params)
+    jax.block_until_ready(grads)
+
+    iters = 20
+    t0 = time.time()
+    for _ in range(iters):
+        loss, grads = grad_step(params)
+    jax.block_until_ready(grads)
+    step_s = (time.time() - t0) / iters
+
+    audio_sec = NUM_CHAINS * AUDIO_LEN / SR
+    value = audio_sec / step_s
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"audio-sec/sec/chip, fwd+bwd grad step, {num_nodes}-node"
+                    f" mix graph ({NUM_CHAINS} sources x stereo x 2^17 @"
+                    f" 44.1kHz); step time {step_s * 1000:.1f} ms"
+                ),
+                "value": round(value, 1),
+                "unit": "audio-sec/sec/chip",
+                "vs_baseline": round(value / REALTIME_ANCHOR, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -130,34 +130,59 @@ def _companion_powers(a1, a2, T):
     """Top rows ``(p[n], q[n]) = (A^n)[0, :]`` of the companion-matrix
     powers for ``A = [[-a1, -a2], [1, 0]]``, for ``n = 0..T``.
 
-    Because ``row1(A^n) = row0(A^(n-1))``, the top-row sequences determine
-    every power.  They are computed with a log-depth doubling recurrence
-    (``A^(m+k) = A^m A^k`` => ``p[m+k] = p[m] p[k] + q[m] p[k-1]``), which
-    keeps the sequence index on the TPU lane dimension — no tensors with
-    trailing size-2 dims touch the VPU.
+    Computed in closed form from the eigenvalues ``l1, l2`` of ``A``
+    (the diagonalized state-space view, matching the case analysis of the
+    reference's "ssm" backend, core/iir.py:285-338):
+
+        S[n] = (l1^n - l2^n) / (l1 - l2),   p[n] = S[n+1],
+        q[n] = -a2 * S[n],
+
+    with the double-root limit ``S[n] = n * l^(n-1)`` when the
+    discriminant vanishes.  The closed form is numerically stable for
+    poles arbitrarily close to the unit circle, where product-form
+    recurrences blow up in float32.
 
     Args:
         a1, a2: ``(N,)`` normalized feedback coefficients.
 
     Returns:
-        p, q of shape ``(N, T + 1)``.
+        p, q of shape ``(N, T + 1)``, real, same dtype as ``a1``.
     """
-    # start at length 2: n = 0, 1
-    p = jnp.stack([jnp.ones_like(a1), -a1], axis=-1)
-    q = jnp.stack([jnp.zeros_like(a2), -a2], axis=-1)
-    m = 2
-    while m < T + 1:
-        pm = -a1 * p[:, m - 1] + q[:, m - 1]  # p[m]
-        qm = -a2 * p[:, m - 1]  # q[m]
-        # shifted: p[k-1], q[k-1] with (p[-1], q[-1]) = (0, 1)
-        p_sh = jnp.concatenate([jnp.zeros_like(p[:, :1]), p[:, :-1]], axis=1)
-        q_sh = jnp.concatenate([jnp.ones_like(q[:, :1]), q[:, :-1]], axis=1)
-        p_ext = pm[:, None] * p + qm[:, None] * p_sh
-        q_ext = pm[:, None] * q + qm[:, None] * q_sh
-        p = jnp.concatenate([p, p_ext], axis=1)
-        q = jnp.concatenate([q, q_ext], axis=1)
-        m *= 2
-    return p[:, : T + 1], q[:, : T + 1]
+    dtype = a1.dtype
+    is64 = dtype == jnp.float64
+    cdtype = jnp.complex128 if is64 else jnp.complex64
+    tol = 1e-12 if is64 else 1e-6
+
+    a1c = a1.astype(cdtype)
+    a2c = a2.astype(cdtype)
+    d = a1c * a1c - 4.0 * a2c
+    scale = jnp.abs(a1c) ** 2 + 4.0 * jnp.abs(a2c) + 1e-20
+    double_root = jnp.abs(d) <= tol * scale
+
+    # sqrt of the (guarded) discriminant; guarding keeps the unselected
+    # branch's gradient finite under jnp.where
+    d_safe = jnp.where(double_root, 1.0, d)
+    sq = jnp.sqrt(d_safe)
+    l1 = (-a1c + sq) / 2.0
+    l2 = (-a1c - sq) / 2.0
+
+    n = jnp.arange(T + 2)
+    # guard zero eigenvalues (complex pow -> log(0) NaN at n=0)
+    def safe_pow(lam):
+        lam = jnp.where(jnp.abs(lam) < 1e-20, 1e-20 + 0.0j, lam)
+        return lam[:, None] ** n[None, :]
+
+    S = (safe_pow(l1) - safe_pow(l2)) / sq[:, None]  # (N, T+2)
+
+    lmid = -a1c / 2.0
+    lmid = jnp.where(jnp.abs(lmid) < 1e-20, 1e-20 + 0.0j, lmid)
+    S_double = n * lmid[:, None] ** jnp.maximum(n - 1, 0)[None, :]
+
+    S = jnp.where(double_root[:, None], S_double, S)
+
+    p = S[:, 1:].real.astype(dtype)  # p[n] = S[n+1], n = 0..T
+    q = (-a2c[:, None] * S[:, : T + 1]).real.astype(dtype)
+    return p, q
 
 
 def _biquad_block_stage(x, bk, ak, T):

@@ -1,0 +1,134 @@
+"""Processor containers: dry/wet mixing, serial chains, parallel mixes,
+and gain-staging regularization.
+
+Behavioral parity with the reference
+(reference: src/grafx/processors/container.py:10-299).  Aux losses travel
+as the second element of a returned tuple (the render executor's
+``intermediates`` side channel).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from grafx_tpu.processors.core.utils import rms_difference
+
+
+def _split_output(out):
+    if isinstance(out, tuple):
+        return out
+    return out, None
+
+
+class DryWet:
+    """Mix the wrapped processor's wet output with the dry input via a
+    sigmoid weight (reference: container.py:10-82).
+
+    Args:
+        processor: any SISO processor.
+        external_param: if ``True``, the dry/wet weight is expected via
+            ``common_parameters`` and not added to ``parameter_size``.
+    """
+
+    def __init__(self, processor, external_param=True):
+        self.processor = processor
+        self.external_param = external_param
+
+    def __call__(self, input_signals, drywet_weight, **processor_kwargs):
+        out, intermediates = _split_output(
+            self.processor(input_signals, **processor_kwargs)
+        )
+        w = jax.nn.sigmoid(drywet_weight).reshape(-1, 1, 1)
+        mixed = w * out + (1.0 - w) * input_signals
+        if intermediates is not None:
+            return mixed, intermediates
+        return mixed
+
+    def parameter_size(self):
+        size = dict(self.processor.parameter_size())
+        if not self.external_param:
+            size["drywet_weight"] = (1,)
+        return size
+
+
+class SerialChain:
+    """Apply processors in order, nesting their parameters by name
+    (reference: container.py:85-148)."""
+
+    def __init__(self, processors):
+        self.processors = dict(processors)
+
+    def __call__(self, input_signals, **processors_kwargs):
+        out = input_signals
+        intermediates = {}
+        for k, processor in self.processors.items():
+            result = processor(out, **processors_kwargs[k])
+            out, inter = _split_output(result)
+            if inter is not None:
+                intermediates[k] = inter
+        return out, intermediates
+
+    def parameter_size(self):
+        return {k: v.parameter_size() for k, v in self.processors.items()}
+
+
+class ParallelMix:
+    """Weighted sum of parallel processor outputs — DARTS-style processor
+    selection (reference: container.py:151-222).
+
+    Args:
+        processors: name -> processor dict.
+        activation: ``"softmax"`` (weights sum to 1) or ``"softplus"``
+            (non-negative, ~1/K at zero).
+    """
+
+    def __init__(self, processors, activation="softmax"):
+        self.processors = dict(processors)
+        if activation not in ("softmax", "softplus"):
+            raise ValueError(f"Unsupported activation: {activation}")
+        self.activation = activation
+        self.mult = 1.0 / (math.log(2) * len(self.processors))
+
+    def __call__(self, input_signals, parallel_weights, **processors_kwargs):
+        if self.activation == "softmax":
+            weights = jax.nn.softmax(parallel_weights, axis=-1)
+        else:
+            weights = jax.nn.softplus(parallel_weights) * self.mult
+
+        outputs = []
+        intermediates = {}
+        for i, (k, processor) in enumerate(self.processors.items()):
+            out, inter = _split_output(
+                processor(input_signals, **processors_kwargs[k])
+            )
+            if inter is not None:
+                intermediates[k] = inter
+            outputs.append(out * weights[..., i, None, None])
+        return sum(outputs), intermediates
+
+    def parameter_size(self):
+        size = {k: v.parameter_size() for k, v in self.processors.items()}
+        size["parallel_weights"] = len(self.processors)
+        return size
+
+
+class GainStagingRegularization:
+    """Wrap a processor and report |log-RMS in - log-RMS out| through the
+    intermediates under ``key`` (reference: container.py:231-299)."""
+
+    def __init__(self, processor, key="gain_reg"):
+        self.processor = processor
+        self.key = key
+
+    def __call__(self, input_signals, **processor_kwargs):
+        out, intermediates = _split_output(
+            self.processor(input_signals, **processor_kwargs)
+        )
+        intermediates = {} if intermediates is None else dict(intermediates)
+        assert self.key not in intermediates
+        intermediates[self.key] = rms_difference(input_signals, out)
+        return out, intermediates
+
+    def parameter_size(self):
+        return self.processor.parameter_size()

@@ -1,0 +1,99 @@
+"""Multitap delay with learnable (surrogate) delay lengths.
+
+Behavioral parity with the reference ``MultitapDelay``
+(reference: src/grafx/processors/delay.py:12-177); the reference's broken
+``self.conv`` member (ctor typo ``num_channelsonv``, delay.py:92) and
+dead midside path are implemented properly here.
+"""
+
+import jax.numpy as jnp
+
+from grafx_tpu.processors.core.convolution import FIRConvolution, convolve
+from grafx_tpu.processors.core.delay import SurrogateDelay
+from grafx_tpu.processors.core.fir import ZeroPhaseFIR
+from grafx_tpu.processors.core.midside import lr_to_ms, ms_to_lr
+from grafx_tpu.processors.core.utils import normalize_impulse
+
+
+class MultitapDelay:
+    """M = segments x taps surrogate delays, each optionally colored by a
+    small zero-phase FIR; taps concatenated along time to span
+    ``segment_len * num_segments``.
+
+    Returns ``(signals, {"radii_reg": loss})`` — the aux loss encourages
+    sharp (near-unit-circle) delays.
+    """
+
+    def __init__(
+        self,
+        segment_len=3000,
+        num_segments=20,
+        num_delay_per_segment=1,
+        processor_channel="stereo",
+        zp_filter_per_tap=True,
+        zp_filter_bins=20,
+        pre_delay=0,
+        **surrogate_delay_kwargs,
+    ):
+        self.segment_len = segment_len
+        self.num_segments = num_segments
+        self.num_delay_per_segment = num_delay_per_segment
+        self.zp_filter_per_tap = zp_filter_per_tap
+        self.zp_filter_bins = zp_filter_bins
+        if zp_filter_per_tap:
+            self.zp_filter = ZeroPhaseFIR(zp_filter_bins)
+        self.delay = SurrogateDelay(N=segment_len, **surrogate_delay_kwargs)
+        self.conv = FIRConvolution(mode="causal")
+        self.pre_delay = pre_delay
+        self.processor_channel = processor_channel
+        match processor_channel:
+            case "mono":
+                self.num_channels = 1
+            case "stereo" | "midside":
+                self.num_channels = 2
+            case _:
+                raise ValueError(f"Unknown channel type: {processor_channel}")
+
+    def __call__(self, input_signals, delay_z, log_fir_magnitude=None):
+        ir, intermediates = self.get_ir(delay_z, log_fir_magnitude)
+        if self.processor_channel == "midside":
+            x = lr_to_ms(input_signals)
+            output_signals = ms_to_lr(self.conv(x, ir))
+        else:
+            output_signals = self.conv(input_signals, ir)
+        if self.pre_delay != 0:
+            output_signals = jnp.pad(
+                output_signals, ((0, 0), (0, 0), (self.pre_delay, 0))
+            )[:, :, : -self.pre_delay]
+        return output_signals, intermediates
+
+    def get_ir(self, delay_z, log_fir_magnitude):
+        z_c = delay_z[..., 0] + 1j * delay_z[..., 1]
+        irs, radii_loss = self.delay(z_c)  # (B, M, T')
+
+        if self.zp_filter_per_tap:
+            color_firs = self.zp_filter(log_fir_magnitude)
+            irs = convolve(irs, color_firs, mode="zerophase")
+
+        B = irs.shape[0]
+        T = irs.shape[-1]
+        irs = irs.reshape(
+            B,
+            self.num_channels,
+            self.num_segments,
+            self.num_delay_per_segment,
+            T,
+        )
+        irs = irs.sum(axis=-2)  # sum taps within a segment
+        irs = irs.reshape(B, self.num_channels, self.num_segments * T)
+        irs = normalize_impulse(irs)
+        return irs, {"radii_reg": radii_loss}
+
+    def parameter_size(self):
+        num_delay = (
+            self.num_segments * self.num_delay_per_segment * self.num_channels
+        )
+        size = {"delay_z": (num_delay, 2)}
+        if self.zp_filter_per_tap:
+            size["log_fir_magnitude"] = (num_delay, self.zp_filter_bins)
+        return size

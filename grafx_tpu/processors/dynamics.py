@@ -1,0 +1,297 @@
+"""Dynamic range processors: compressors, noise gates, envelope followers.
+
+Behavioral parity with the reference
+(reference: src/grafx/processors/dynamics.py:8-784).  Branchless knee
+computation (``jnp.where`` / mask multiplication fuses under XLA); the
+ballistics smoothing recursion uses the TPU kernel in
+:mod:`grafx_tpu.ops.ballistics`.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from grafx_tpu.processors.core.envelope import Ballistics, TruncatedOnePoleIIRFilter
+
+
+def _make_smoother(kind, iir_len, **backend_kwargs):
+    match kind:
+        case "iir":
+            return TruncatedOnePoleIIRFilter(iir_len=iir_len, **backend_kwargs)
+        case "ballistics":
+            return Ballistics()
+        case None:
+            return None
+        case _:
+            raise ValueError(f"Unknown smoother: {kind}")
+
+
+class Compressor:
+    """Feed-forward compressor with selectable energy/gain smoothing and
+    knee shape (reference: dynamics.py:213-489)."""
+
+    def __init__(
+        self,
+        energy_smoother="iir",
+        gain_smoother=None,
+        gain_smooth_in_log=False,
+        knee="quadratic",
+        iir_len=16384,
+        **backend_kwargs,
+    ):
+        self.energy_smoother = energy_smoother
+        self.energy_smoother_module = _make_smoother(
+            energy_smoother, iir_len, **backend_kwargs
+        )
+        self.gain_smoother = gain_smoother
+        self.gain_smoother_module = _make_smoother(
+            gain_smoother, iir_len, **backend_kwargs
+        )
+        if knee not in ("hard", "quadratic", "exponential"):
+            raise ValueError(f"Unknown knee: {knee}")
+        self.knee = knee
+        self.gain_smooth_in_log = gain_smooth_in_log
+
+    def __call__(
+        self,
+        input_signals,
+        log_threshold,
+        log_ratio,
+        log_knee=None,
+        z_alpha_pre=None,
+        z_alpha_post=None,
+    ):
+        """Compress ``(N, C, L)`` signals; see ``parameter_size`` for the
+        per-node parameters."""
+        energy = jnp.mean(jnp.square(input_signals), axis=-2)
+        if self.energy_smoother_module is not None:
+            energy = self.energy_smoother_module(energy, z_alpha=z_alpha_pre)
+        log_energy = jnp.log(energy + 1e-5)
+        log_gain = self.compute_gain(
+            log_energy, log_threshold - 6.0, log_ratio, log_knee
+        )
+        if self.gain_smoother_module is not None:
+            if self.gain_smooth_in_log:
+                gain = jnp.exp(
+                    self.gain_smoother_module(log_gain, z_alpha=z_alpha_post)
+                )
+            else:
+                gain = self.gain_smoother_module(
+                    jnp.exp(log_gain), z_alpha=z_alpha_post
+                )
+        else:
+            gain = jnp.exp(log_gain)
+        return gain[:, None, :] * input_signals
+
+    def compute_gain(self, log_energy, log_threshold, log_ratio, log_knee):
+        match self.knee:
+            case "hard":
+                return self.gain_hard_knee(log_energy, log_threshold, log_ratio, None)
+            case "quadratic":
+                return self.gain_quad_knee(
+                    log_energy, log_threshold, log_ratio, log_knee
+                )
+            case "exponential":
+                return self.gain_exp_knee(
+                    log_energy, log_threshold, log_ratio, log_knee
+                )
+
+    def parameter_size(self):
+        size = {"log_threshold": 1, "log_ratio": 1}
+        if self.knee != "hard":
+            size["log_knee"] = 1
+        if self.energy_smoother == "iir":
+            size["z_alpha_pre"] = 1
+        elif self.energy_smoother == "ballistics":
+            size["z_alpha_pre"] = 2
+        if self.gain_smoother == "iir":
+            size["z_alpha_post"] = 1
+        elif self.gain_smoother == "ballistics":
+            size["z_alpha_post"] = 2
+        return size
+
+    @staticmethod
+    def gain_hard_knee(log_energy, log_threshold, log_ratio, _):
+        ratio = 1.0 + jnp.exp(log_ratio)
+        out = jnp.minimum(
+            log_energy, log_threshold + (log_energy - log_threshold) / ratio
+        )
+        return out - log_energy
+
+    @staticmethod
+    def gain_quad_knee(log_energy, log_threshold, log_ratio, log_knee):
+        ratio = 1.0 + jnp.exp(log_ratio)
+        half_knee = jnp.exp(log_knee) / 2.0
+
+        below = log_energy
+        above = log_threshold + (log_energy - log_threshold) / ratio
+        middle = log_energy + (1.0 / ratio - 1.0) * jnp.square(
+            log_energy - log_threshold + half_knee
+        ) / (4.0 * half_knee)
+
+        out = jnp.where(
+            log_energy < log_threshold - half_knee,
+            below,
+            jnp.where(log_energy > log_threshold + half_knee, above, middle),
+        )
+        return out - log_energy
+
+    @staticmethod
+    def gain_exp_knee(log_energy, log_threshold, log_ratio, log_knee):
+        ratio = 1.0 + jnp.exp(log_ratio)
+        knee = jnp.exp(log_knee)
+        return (
+            (1.0 / ratio - 1.0)
+            * jax.nn.softplus(knee * (log_energy - log_threshold))
+            / knee
+        )
+
+
+class NoiseGate(Compressor):
+    """Feed-forward noise gate: the below-threshold mirror of
+    :class:`Compressor` (reference: dynamics.py:492-721)."""
+
+    @staticmethod
+    def gain_hard_knee(log_energy, log_threshold, log_ratio, _):
+        ratio = 1.0 + jnp.exp(log_ratio)
+        out = jnp.minimum(
+            log_energy, ratio * (log_energy - log_threshold) + log_threshold
+        )
+        return out - log_energy
+
+    @staticmethod
+    def gain_quad_knee(log_energy, log_threshold, log_ratio, log_knee):
+        ratio = 1.0 + jnp.exp(log_ratio)
+        half_knee = jnp.exp(log_knee) / 2.0
+
+        below = ratio * (log_energy - log_threshold) + log_threshold
+        above = log_energy
+        middle = log_energy + (1.0 - ratio) * jnp.square(
+            log_energy - log_threshold - half_knee
+        ) / (4.0 * half_knee)
+
+        out = jnp.where(
+            log_energy < log_threshold - half_knee,
+            below,
+            jnp.where(log_energy > log_threshold + half_knee, above, middle),
+        )
+        return out - log_energy
+
+    @staticmethod
+    def gain_exp_knee(log_energy, log_threshold, log_ratio, log_knee):
+        one_minus_ratio = -jnp.exp(log_ratio)
+        knee = jnp.exp(log_knee)
+        return (
+            one_minus_ratio
+            * jax.nn.softplus(knee * (log_threshold - log_energy))
+            / knee
+        )
+
+
+class ApproxCompressor:
+    """Deprecated v0.5 compressor: IIR envelope + quadratic knee
+    (reference: dynamics.py:8-120)."""
+
+    def __init__(self, iir_len=16384, **backend_kwargs):
+        self.env_follower = IIREnvelopeFollower(iir_len=iir_len, **backend_kwargs)
+
+    def __call__(self, input_signals, z_alpha, log_threshold, log_ratio, log_knee=None):
+        log_energy = self.env_follower(input_signals, z_alpha)
+        log_gain = Compressor.gain_quad_knee(
+            log_energy, log_threshold - 6.0, log_ratio, log_knee
+        )
+        return jnp.exp(log_gain)[:, None, :] * input_signals
+
+    def parameter_size(self):
+        return {"z_alpha": 1, "log_threshold": 1, "log_ratio": 1, "log_knee": 1}
+
+
+class ApproxNoiseGate:
+    """Deprecated v0.5 noise gate (reference: dynamics.py:123-210)."""
+
+    def __init__(self, freq_sample_n=16384, **backend_kwargs):
+        self.env_follower = IIREnvelopeFollower(
+            iir_len=freq_sample_n, **backend_kwargs
+        )
+
+    def __call__(self, input_signals, z_alpha, log_threshold, log_ratio, log_knee):
+        log_energy = self.env_follower(input_signals, z_alpha)
+        gain = self.compute_gain(
+            log_energy, log_threshold - 6.0, log_ratio, log_knee
+        )
+        return gain * input_signals
+
+    @staticmethod
+    def compute_gain(log_energy, log_threshold, log_ratio, log_knee):
+        ratio = jnp.exp(log_ratio)
+        knee = jnp.exp(log_knee)
+
+        below = ratio * (log_energy - log_threshold) + log_threshold
+        above = log_energy
+        middle = log_energy + (1.0 - ratio) * jnp.square(
+            log_energy - log_threshold - knee / 2.0
+        ) / 2.0 / (knee + 1e-3)
+
+        out = jnp.where(
+            log_energy < log_threshold - knee / 2.0,
+            below,
+            jnp.where(log_energy > log_threshold + knee / 2.0, above, middle),
+        )
+        return jnp.exp(out - log_energy)[:, None, :]
+
+    def parameter_size(self):
+        return {"z_alpha": 1, "log_threshold": 1, "log_ratio": 1, "log_knee": 1}
+
+
+class BaseEnvelopeFollower:
+    """Loudness detect (energy / amplitude / rms) -> smooth -> log
+    (reference: dynamics.py:742-770)."""
+
+    def __init__(self, smoother, detect_with="energy"):
+        self.detect_with = detect_with
+        self.smoother = smoother
+        self.eps = 1e-7
+
+    def __call__(self, signal, *args, **kwargs):
+        match self.detect_with:
+            case "energy":
+                loudness = jnp.mean(jnp.square(signal), axis=-2)
+            case "amplitude":
+                loudness = jnp.mean(jnp.abs(signal), axis=-2)
+            case "rms_channel":
+                loudness = jnp.sqrt(self.eps + jnp.mean(jnp.square(signal), axis=-2))
+            case _:
+                raise ValueError(f"Unknown detect_with: {self.detect_with}")
+        envelope = self.smoother(loudness, *args, **kwargs)
+        return jnp.log(envelope + 1e-5)
+
+    def parameter_size(self):
+        # one coefficient for the one-pole smoother, two for ballistics
+        # (the reference delegates to the smoother, which lacks the method
+        # — a latent bug; resolved here)
+        n = 2 if isinstance(self.smoother, Ballistics) else 1
+        return {"z_alpha": n}
+
+
+class IIREnvelopeFollower(BaseEnvelopeFollower):
+    """Envelope follower with truncated one-pole smoothing
+    (reference: dynamics.py:773-779)."""
+
+    def __init__(self, detect_with="energy", iir_len=16384, **backend_kwargs):
+        super().__init__(
+            smoother=TruncatedOnePoleIIRFilter(iir_len=iir_len, **backend_kwargs),
+            detect_with=detect_with,
+        )
+
+    def __call__(self, signal, z_alpha):
+        return super().__call__(signal, z_alpha=z_alpha)
+
+
+class BallisticsEnvelopeFollower(BaseEnvelopeFollower):
+    """Envelope follower with ballistics smoothing
+    (reference: dynamics.py:782-784)."""
+
+    def __init__(self, detect_with="energy"):
+        super().__init__(smoother=Ballistics(), detect_with=detect_with)
+
+    def __call__(self, signal, z_alpha):
+        return super().__call__(signal, z_alpha=z_alpha)
