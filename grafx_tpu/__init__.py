@@ -17,8 +17,28 @@ Everything is differentiable end-to-end with ``jax.grad``; graph parameters
 are plain pytrees optimized with optax.
 """
 
-from grafx_tpu import data, draw, ops, parallel, processors, render, utils
+from grafx_tpu import (
+    checkpoint,
+    data,
+    draw,
+    models,
+    ops,
+    parallel,
+    processors,
+    render,
+    utils,
+)
 
 __version__ = "0.1.0"
 
-__all__ = ["data", "draw", "ops", "parallel", "processors", "render", "utils"]
+__all__ = [
+    "checkpoint",
+    "data",
+    "draw",
+    "models",
+    "ops",
+    "parallel",
+    "processors",
+    "render",
+    "utils",
+]

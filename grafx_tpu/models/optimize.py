@@ -1,0 +1,99 @@
+"""Gradient-based graph parameter estimation.
+
+Packages the canonical GRAFX training loop (SURVEY.md §3.5: render ->
+audio loss + aux losses -> backward -> step) as a single jitted update
+function over an optax optimizer.  The whole update — graph render,
+multi-resolution STFT loss, backward pass, and optimizer step — is one
+XLA program.
+"""
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from grafx_tpu.ops.losses import multi_resolution_stft_loss
+from grafx_tpu.render import make_render_fn, prepare_render, reorder_for_fast_render
+from grafx_tpu.data import convert_to_tensor
+from grafx_tpu.utils import create_empty_parameters
+
+
+class GraphParameterOptimizer:
+    """Fit a graph's processor parameters to match target audio.
+
+    Args:
+        G: a :class:`GRAFX` graph.
+        processors: type -> processor mapping.
+        loss_fn: ``f(output, target) -> scalar`` (default:
+            multi-resolution STFT loss).
+        optimizer: an optax optimizer (default: ``adam(1e-2)``).
+        aux_weight: weight applied to the summed aux (intermediates)
+            losses such as ``gain_reg`` / ``radii_reg``.
+        method: scheduling method.
+    """
+
+    def __init__(
+        self,
+        G,
+        processors,
+        loss_fn=multi_resolution_stft_loss,
+        optimizer=None,
+        aux_weight=1.0,
+        method="beam",
+        key=None,
+    ):
+        self.G = G
+        self.processors = processors
+        self.loss_fn = loss_fn
+        self.aux_weight = aux_weight
+        self.optimizer = optimizer or optax.adam(1e-2)
+
+        G_t = reorder_for_fast_render(convert_to_tensor(G), method=method)
+        self.render_data = prepare_render(G_t)
+        self.render = make_render_fn(processors, self.render_data, jit=False)
+        self.params = create_empty_parameters(
+            processors, G, key=key if key is not None else jax.random.PRNGKey(0)
+        )
+        self.opt_state = self.optimizer.init(self.params)
+
+        @jax.jit
+        def update(params, opt_state, input_signals, target):
+            def total_loss(p):
+                out, intermediates, _ = self.render(input_signals, p)
+                loss = self.loss_fn(out, target)
+                aux = sum(
+                    jnp.sum(v)
+                    for inter in intermediates
+                    for v in jax.tree.leaves(inter)
+                )
+                return loss + self.aux_weight * aux, loss
+
+            (total, audio_loss), grads = jax.value_and_grad(
+                total_loss, has_aux=True
+            )(params)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, total, audio_loss
+
+        self._update = update
+
+    def step(self, input_signals, target):
+        """One jitted optimization step; returns (total_loss, audio_loss)."""
+        self.params, self.opt_state, total, audio = self._update(
+            self.params, self.opt_state, input_signals, target
+        )
+        return total, audio
+
+    def fit(self, input_signals, target, num_steps=100, log_every=0):
+        """Run ``num_steps`` updates; returns the loss history."""
+        history = []
+        for i in range(num_steps):
+            total, audio = self.step(input_signals, target)
+            history.append(float(audio))
+            if log_every and (i % log_every == 0):
+                print(f"step {i}: audio_loss={float(audio):.6f}")
+        return history
+
+    def render_current(self, input_signals):
+        """Render with the current parameters."""
+        out, intermediates, _ = jax.jit(self.render)(input_signals, self.params)
+        return out

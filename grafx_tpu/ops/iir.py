@@ -285,9 +285,19 @@ def biquad_exact(x, Bs, As, block_size: int = 1024):
     T = min(block_size, next_pow2(L))
     b, a = _normalize(Bs, As)
     num_biquads = b.shape[-2]
-    y = x
-    for k in range(num_biquads):
-        y = _biquad_block_stage(y, b[:, k], a[:, k], T)
+    if num_biquads <= 2:
+        y = x
+        for k in range(num_biquads):
+            y = _biquad_block_stage(y, b[:, k], a[:, k], T)
+        return y
+
+    # cascade via lax.scan over the biquad axis: compiles ONE stage body
+    # instead of K copies (K can be 24+ for graphic EQs)
+    def stage(y, ba):
+        bk, ak = ba
+        return _biquad_block_stage(y, bk, ak, T), None
+
+    y, _ = jax.lax.scan(stage, x, (jnp.swapaxes(b, 0, 1), jnp.swapaxes(a, 0, 1)))
     return y
 
 

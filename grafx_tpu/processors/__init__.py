@@ -46,6 +46,7 @@ from grafx_tpu.processors.nonlinear import (
     TanhDistortion,
 )
 from grafx_tpu.processors.reverb import (
+    FeedbackDelayNetwork,
     FilteredNoiseShapingReverb,
     STFTMaskedNoiseReverb,
 )
@@ -68,6 +69,7 @@ __all__ = [
     "ChebyshevDistortion",
     "Compressor",
     "DryWet",
+    "FeedbackDelayNetwork",
     "FilteredNoiseShapingReverb",
     "FIRFilter",
     "GainStagingRegularization",

@@ -260,3 +260,105 @@ class FilteredNoiseShapingReverb:
             size["log_fade_in"] = shape
             size["z_fade_in_gain"] = shape
         return size
+
+
+class FeedbackDelayNetwork:
+    """A frequency-sampled feedback delay network (FDN) reverb.
+
+    The reference lists this as an unimplemented stub
+    (reference: reverb.py:450-460; docs TODO at
+    references/history.rst:14-22) — implemented here.
+
+    An FDN with ``N`` delay lines of (static, mutually-prime) lengths
+    ``m_i``, a Householder feedback matrix ``Q``, per-line absorption
+    gains ``g_i`` in (0, 1), input gains ``b`` and per-channel output
+    gains ``C`` has transfer function
+
+        H(z) = C (I - D(z) G Q)^{-1} D(z) b,    D(z) = diag(z^{-m_i}).
+
+    We sample ``H`` on the ``ir_len``-point DFT grid — a batch of tiny
+    complex ``N x N`` solves, ideal for the TPU — then irfft to a causal
+    FIR and convolve.  All gains are learnable; the absorption maps to a
+    per-line frequency-independent decay.
+
+    Args:
+        ir_len: FIR length (also the DFT size for frequency sampling).
+        num_delays: number of delay lines ``N``.
+        delay_lengths: optional explicit lengths (defaults to spread
+            primes around 1000-4000 samples).
+        processor_channel: ``"mono"``, ``"stereo"``, or ``"midside"``.
+    """
+
+    PRIMES = [1031, 1327, 1523, 1871, 2053, 2311, 2617, 2903,
+              3167, 3469, 3727, 4001]
+
+    def __init__(
+        self,
+        ir_len=30000,
+        num_delays=6,
+        delay_lengths=None,
+        processor_channel="stereo",
+        **_ignored,
+    ):
+        self.ir_len = ir_len
+        self.num_delays = num_delays
+        if delay_lengths is None:
+            delay_lengths = self.PRIMES[:num_delays]
+        assert len(delay_lengths) == num_delays
+        self.processor_channel = processor_channel
+        if processor_channel == "mono":
+            self.num_channels = 1
+        elif processor_channel in ("stereo", "midside"):
+            self.num_channels = 2
+        else:
+            raise ValueError(f"Unknown channel type: {processor_channel}")
+
+        # Householder feedback matrix Q = I - 2 v v^T / (v^T v)
+        v = np.ones((num_delays, 1))
+        Q = np.eye(num_delays) - 2.0 * (v @ v.T) / num_delays
+        self.Q = jnp.asarray(Q, dtype=jnp.complex64)
+
+        # delay phasors z^{-m_i} on the rfft grid: (F, N)
+        m = np.asarray(delay_lengths)[None, :]
+        k = np.arange(ir_len // 2 + 1)[:, None]
+        self.delay_phasors = jnp.asarray(
+            np.exp(-2j * np.pi * k * m / ir_len), dtype=jnp.complex64
+        )
+        self.conv = FIRConvolution(mode="causal")
+
+    def __call__(self, input_signals, z_absorption, input_gains, output_gains):
+        """Apply the FDN reverb.
+
+        Args:
+            input_signals: ``(B, C, L)``.
+            z_absorption: ``(B, N)`` pre-sigmoid per-line absorption.
+            input_gains: ``(B, N)``.
+            output_gains: ``(B, C_rev, N)``.
+        """
+        ir = self.compute_ir(z_absorption, input_gains, output_gains)
+        if self.processor_channel == "midside":
+            x = lr_to_ms(input_signals)
+            return ms_to_lr(self.conv(x, normalize_impulse(ir)))
+        return self.conv(input_signals, normalize_impulse(ir))
+
+    def compute_ir(self, z_absorption, input_gains, output_gains):
+        B, N = z_absorption.shape
+        g = 0.99 * jax.nn.sigmoid(z_absorption)  # stable: spectral radius < 1
+        D = self.delay_phasors[None]  # (1, F, N)
+        GQ = (g[:, None, :, None] * self.Q[None, None]).astype(jnp.complex64)
+        # (B, F, N, N): A(z) = D(z) G Q ; solve (I - A) x = D b
+        A = D[..., :, None] * GQ
+        eye = jnp.eye(N, dtype=jnp.complex64)
+        rhs = D * input_gains[:, None, :].astype(jnp.complex64)  # (B, F, N)
+        x = jnp.linalg.solve(eye - A, rhs[..., None])[..., 0]  # (B, F, N)
+        H = jnp.einsum(
+            "bcn,bfn->bcf", output_gains.astype(jnp.complex64), x
+        )
+        return jnp.fft.irfft(H, n=self.ir_len)  # (B, C_rev, ir_len)
+
+    def parameter_size(self):
+        return {
+            "z_absorption": self.num_delays,
+            "input_gains": self.num_delays,
+            "output_gains": (self.num_channels, self.num_delays),
+        }

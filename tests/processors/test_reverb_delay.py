@@ -77,6 +77,33 @@ def test_multitap_delay_reports_radii_loss():
     assert jnp.isfinite(aux["radii_reg"])
 
 
+@pytest.mark.parametrize("channel", ["mono", "stereo", "midside"])
+def test_feedback_delay_network(channel):
+    from grafx_tpu.processors import FeedbackDelayNetwork
+
+    _test_single_processor(
+        FeedbackDelayNetwork(
+            ir_len=4000, num_delays=4, processor_channel=channel
+        ),
+        audio_len=2**12,
+    )
+
+
+def test_fdn_ir_decays_with_absorption():
+    from grafx_tpu.processors import FeedbackDelayNetwork
+
+    fdn = FeedbackDelayNetwork(ir_len=8000, num_delays=4)
+    key = jax.random.PRNGKey(0)
+    gains_in = jnp.ones((1, 4))
+    gains_out = jnp.ones((1, 2, 4))
+    # strong absorption -> fast decay; weak -> slow
+    ir_fast = fdn.compute_ir(jnp.full((1, 4), -2.0), gains_in, gains_out)
+    ir_slow = fdn.compute_ir(jnp.full((1, 4), 4.0), gains_in, gains_out)
+    tail_fast = float(jnp.square(ir_fast[..., -2000:]).sum())
+    tail_slow = float(jnp.square(ir_slow[..., -2000:]).sum())
+    assert tail_fast < tail_slow
+
+
 def test_surrogate_delay_hard_forward():
     """STE: forward IRs are hard one-hot delays."""
     from grafx_tpu.processors.core.delay import SurrogateDelay
