@@ -290,15 +290,153 @@ def biquad_exact(x, Bs, As, block_size: int = 1024):
         for k in range(num_biquads):
             y = _biquad_block_stage(y, b[:, k], a[:, k], T)
         return y
+    # longer cascades: single-pass blocked cascade operator (one big FFT
+    # conv + MXU matmuls instead of K sequential FFT convs)
+    return _biquad_block_cascade(x, b, a, T)
 
-    # cascade via lax.scan over the biquad axis: compiles ONE stage body
-    # instead of K copies (K can be 24+ for graphic EQs)
-    def stage(y, ba):
-        bk, ak = ba
-        return _biquad_block_stage(y, bk, ak, T), None
 
-    y, _ = jax.lax.scan(stage, x, (jnp.swapaxes(b, 0, 1), jnp.swapaxes(a, 0, 1)))
-    return y
+# ---------------------------------------------------------------------------
+# Exact blocked CASCADE filter: one data pass for the whole biquad stack
+# ---------------------------------------------------------------------------
+#
+# The per-stage blocked filter does K sequential length-L FFT convolutions.
+# The cascade version treats all K biquads as one linear system with a
+# 2K-dim state: the data-dependent work collapses to
+#   (1) ONE causal FFT convolution with the cascade's truncated IR,
+#   (2) one MXU matmul for per-block state injection,
+#   (3) a tiny associative scan of 2K x 2K affine maps across blocks,
+#   (4) one MXU matmul for the initial-state responses.
+# All parameter-dependent kernels (W, V, A_blk) are built by a lax.scan
+# over the K stages on length-T signals — independent of L.
+
+
+def _tconv(x, h, T):
+    """Truncated causal convolution ``(x * h)[0:T]`` of length-``T``
+    causal signals (exact: lags < T are alias-free at FFT size 2T)."""
+    n = 2 * T
+    y = jnp.fft.irfft(jnp.fft.rfft(x, n=n) * jnp.fft.rfft(h, n=n), n=n)
+    return y[..., :T]
+
+
+def _cascade_kernels(b, a, T):
+    """Blocked-cascade operator kernels.
+
+    Args:
+        b, a: ``(N, K, 3)`` normalized coefficients.
+
+    Returns:
+        ``(H_cas, W, V, A_blk)``:
+        H_cas ``(N, T)`` cascade IR (truncated);
+        W ``(N, S, T)`` with ``s_in[s] = sum_t xb[t] W[s, t]``;
+        V ``(N, S, T)`` with ``y_is[t] = sum_s s[s] V[s, t]``;
+        A_blk ``(N, S, S)`` end-of-block state from start-of-block state;
+        where ``S = 2K``.
+    """
+    N, K, _ = b.shape
+    S = 2 * K
+
+    a1f, a2f = a[..., 1].reshape(-1), a[..., 2].reshape(-1)
+    p, q = _companion_powers(a1f, a2f, T)  # (N*K, T+1)
+    p = p.reshape(N, K, T + 1)
+    q = q.reshape(N, K, T + 1)
+    p_prev = jnp.concatenate([jnp.zeros_like(p[..., :1]), p[..., :-1]], -1)
+    q_prev = jnp.concatenate([jnp.ones_like(q[..., :1]), q[..., :-1]], -1)
+
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    a1, a2 = a[..., 1], a[..., 2]
+    c0, c1 = b1 - b0 * a1, b2 - b0 * a2
+
+    # per-stage kernels, stage axis leading for the scan
+    CA0 = c0[..., None] * p[..., :T] + c1[..., None] * p_prev[..., :T]
+    CA1 = c0[..., None] * q[..., :T] + c1[..., None] * q_prev[..., :T]
+    CA = jnp.stack([CA0, CA1], axis=-2)  # (N, K, 2, T)
+    # own-state output must include the feedthrough b0 * (C s) ... no:
+    # y[n] = C A^n s exactly (feedthrough applies to inputs, which are
+    # zero for the ISR), so CA is complete.
+    h = jnp.concatenate([b0[..., None], CA0[..., : T - 1]], axis=-1)  # (N,K,T)
+    phi = jnp.stack([p[..., :T], p_prev[..., :T]], axis=-2)  # (N, K, 2, T)
+    phi_rev = phi[..., ::-1]
+    AT = jnp.stack(
+        [
+            jnp.stack([p[..., T], q[..., T]], -1),
+            jnp.stack([p[..., T - 1], q[..., T - 1]], -1),
+        ],
+        axis=-2,
+    )  # (N, K, 2, 2)
+
+    # scan over stages, building the cascade operator
+    H0 = jnp.zeros((N, T), b.dtype).at[:, 0].set(1.0)  # delta
+    V0 = jnp.zeros((N, S, T), b.dtype)
+    W0 = jnp.zeros((N, S, T), b.dtype)
+    A0 = jnp.zeros((N, S, S), b.dtype)
+
+    def stage(carry, xs):
+        H_pre, V, W, A = carry
+        j, h_j, phi_j, phi_rev_j, CA_j, AT_j = xs
+        # injection kernels for stage j: reverse(tconv(H_pre, phi))
+        wj = _tconv(H_pre[:, None, :], phi_j, T)[..., ::-1]  # (N, 2, T)
+        W = jax.lax.dynamic_update_slice(W, wj, (0, 2 * j, 0))
+        # A rows: old states' signals (V) correlated into stage j's state
+        a_rows = jnp.einsum("nrt,nmt->nmr", V, phi_rev_j)  # (N, 2, S)
+        A = jax.lax.dynamic_update_slice(A, a_rows, (0, 2 * j, 0))
+        # own-state 2x2 block on the diagonal
+        A = jax.lax.dynamic_update_slice(A, AT_j, (0, 2 * j, 2 * j))
+        # propagate old ISR signals through stage j; add own kernels
+        V = _tconv(V, h_j[:, None, :], T)
+        V = jax.lax.dynamic_update_slice(V, CA_j, (0, 2 * j, 0))
+        H_pre = _tconv(H_pre, h_j, T)
+        return (H_pre, V, W, A), None
+
+    xs = (
+        jnp.arange(K),
+        jnp.moveaxis(h, 1, 0),
+        jnp.moveaxis(phi, 1, 0),
+        jnp.moveaxis(phi_rev, 1, 0),
+        jnp.moveaxis(CA, 1, 0),
+        jnp.moveaxis(AT, 1, 0),
+    )
+    (H_cas, V, W, A_blk), _ = jax.lax.scan(stage, (H0, V0, W0, A0), xs)
+    return H_cas, W, V, A_blk
+
+
+def _biquad_block_cascade(x, b, a, T):
+    """Exact biquad cascade via the single-pass blocked operator.
+
+    Args:
+        x: ``(N, L)``; b, a: ``(N, K, 3)`` normalized.
+    """
+    N, L = x.shape
+    num_blocks = -(-L // T)
+    pad = num_blocks * T - L
+    xp = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
+    xb = xp.reshape(N, num_blocks, T)
+
+    H_cas, W, V, A_blk = _cascade_kernels(b, a, T)
+    S = W.shape[1]
+
+    # (1) zero-state response: one causal FFT convolution
+    y_zs = fft_convolve(xb, H_cas[:, None, :], mode="causal", pad_mode="pow2")
+
+    # (2) per-block state injection (MXU)
+    s_in = jnp.einsum("nbt,nst->nbs", xb, W)  # (N, NB, S)
+
+    # (3) cross-block state propagation: affine associative scan
+    M = jnp.broadcast_to(A_blk[:, None], (N, num_blocks, S, S))
+
+    def combine(first, second):
+        M1, v1 = first
+        M2, v2 = second
+        return M2 @ M1, jnp.einsum("...ij,...j->...i", M2, v1) + v2
+
+    _, s_after = jax.lax.associative_scan(combine, (M, s_in), axis=1)
+    zeros = jnp.zeros_like(s_after[:, :1])
+    s_enter = jnp.concatenate([zeros, s_after[:, :-1]], axis=1)  # (N, NB, S)
+
+    # (4) initial-state responses (MXU)
+    y_is = jnp.einsum("nbs,nst->nbt", s_enter, V)
+
+    y = (y_zs + y_is).reshape(N, num_blocks * T)
+    return y[:, :L]
 
 
 # ---------------------------------------------------------------------------

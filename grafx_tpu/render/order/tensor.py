@@ -80,16 +80,34 @@ def greedy_search(G_t):
     return beam_search(G_t, width=1, depth=1)
 
 
-def beam_search(G_t, depth=1, width=64):
+def beam_search(G_t, depth=1, width=64, use_native=True):
     """Beam search over type sequences: at each step, expand each beam
     state by every candidate type, score by the number of visited nodes
     after ``depth`` lookahead expansions, and keep the top ``width`` unique
     states (reference: order/tensor.py:127-230).
 
+    Uses the native C++ search (:mod:`grafx_tpu._native`) when available —
+    same semantics, sub-millisecond on thousand-node graphs — falling back
+    to the vectorized numpy implementation.
+
     Returns:
         ``(type_sequence, render_order)``: the stage type indices
         (including leading 0 / trailing 1) and each node's stage index.
     """
+    if use_native:
+        from grafx_tpu._native import beam_search_native
+
+        result = beam_search_native(
+            np.asarray(G_t.node_types),
+            np.asarray(G_t.edge_indices),
+            width=width,
+            depth=depth,
+        )
+        if result is not None:
+            return result
+        # fall through to the numpy implementation (which raises a
+        # descriptive error for cyclic graphs)
+
     T = np.asarray(G_t.node_types)
     E = np.asarray(G_t.edge_indices)
     N = G_t.num_nodes

@@ -135,3 +135,60 @@ def test_reorder_for_fast_render_contiguous():
         [G_t.config.node_type_to_index[t] for t in G_t.type_sequence],
         orders,
     )
+
+
+def test_native_beam_matches_numpy():
+    """The C++ beam search must produce the same schedule as the numpy
+    implementation on random graphs."""
+    from grafx_tpu._native import beam_search_native, native_available
+    from grafx_tpu.render.order.tensor import beam_search
+
+    if not native_available():
+        pytest.skip("native scheduler unavailable (no compiler)")
+
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        G = random_dag(rng, num_chains=5, chain_len=5)
+        G_t = convert_to_tensor(G)
+        seq_native, order_native = beam_search_native(
+            np.asarray(G_t.node_types), np.asarray(G_t.edge_indices), width=8
+        )
+        seq_np, order_np = beam_search(G_t, width=8, use_native=False)
+        check_schedule(G_t, seq_native, order_native)
+        # same stage count (both are optimal-width searches with the same
+        # scoring; tie-breaking may differ, so compare lengths)
+        assert len(seq_native) == len(seq_np)
+
+
+def test_native_beam_large_graph_fast():
+    from grafx_tpu._native import beam_search_native, native_available
+
+    if not native_available():
+        pytest.skip("native scheduler unavailable")
+    import time
+
+    rng = np.random.default_rng(0)
+    G = random_dag(rng, num_chains=100, chain_len=8)
+    G_t = convert_to_tensor(G)
+    t0 = time.time()
+    seq, order = beam_search_native(
+        np.asarray(G_t.node_types), np.asarray(G_t.edge_indices), width=16
+    )
+    dt = time.time() - t0
+    check_schedule(G_t, seq, order)
+    assert dt < 2.0, f"native beam too slow: {dt:.2f}s"
+
+
+def test_native_beam_rejects_cycle():
+    from grafx_tpu._native import beam_search_native, native_available
+
+    if not native_available():
+        pytest.skip("native scheduler unavailable")
+    config = NodeConfigs(["a"])
+    G = GRAFX(config=config, invalid_op="mute")
+    i = G.add("in"); x = G.add("a"); y = G.add("a"); o = G.add("out")
+    G.connect(i, x); G.connect(x, y); G.connect(y, x); G.connect(y, o)
+    G_t = convert_to_tensor(G)
+    assert beam_search_native(
+        np.asarray(G_t.node_types), np.asarray(G_t.edge_indices)
+    ) is None

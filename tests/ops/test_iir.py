@@ -124,3 +124,31 @@ def test_biquad_exact_grad():
         2 * eps
     )
     np.testing.assert_allclose(np.asarray(g_B)[0, 0, 1], np.asarray(fd), rtol=2e-2)
+
+
+def test_cascade_matches_scan_oracle():
+    """The single-pass blocked cascade (K >= 3 path of biquad_exact) must
+    match the sequential scan oracle."""
+    rng = np.random.default_rng(5)
+    N, K, L = 3, 6, 2**12
+    Bs, As = random_stable_biquads(rng, N, K)
+    x = rng.normal(size=(N, L)).astype(np.float32)
+    y_exact = biquad_exact(jnp.asarray(x), jnp.asarray(Bs), jnp.asarray(As), block_size=256)
+    y_scan = biquad_scan(jnp.asarray(x), jnp.asarray(Bs), jnp.asarray(As))
+    scale = float(jnp.abs(y_scan).max())
+    err = float(jnp.abs(y_exact - y_scan).max())
+    assert err / scale < 1e-4, (err, scale)
+
+
+def test_cascade_gradients_finite():
+    rng = np.random.default_rng(6)
+    N, K, L = 2, 4, 2**10
+    Bs, As = random_stable_biquads(rng, N, K)
+    x = jnp.asarray(rng.normal(size=(N, L)).astype(np.float32))
+
+    def loss(Bs_, As_):
+        return jnp.mean(biquad_exact(x, Bs_, As_, block_size=128) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1))(jnp.asarray(Bs), jnp.asarray(As))
+    for v in g:
+        assert jnp.isfinite(v).all()
