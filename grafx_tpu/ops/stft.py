@@ -26,15 +26,26 @@ def stft(x, n_fft: int, hop_length: int, window):
     pad = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
     xp = jnp.pad(x, pad, mode="reflect")
     num_frames = 1 + L // hop_length
-    starts = jnp.arange(num_frames) * hop_length
-    idx = starts[:, None] + jnp.arange(n_fft)[None, :]
-    frames = xp[..., idx] * window  # (..., num_frames, n_fft)
+    if 2 * hop_length == n_fft and xp.shape[-1] == (num_frames + 1) * hop_length:
+        # 50% overlap: frames are adjacent hop-segment pairs (gather-free)
+        segs = xp.reshape(xp.shape[:-1] + (num_frames + 1, hop_length))
+        frames = jnp.concatenate([segs[..., :-1, :], segs[..., 1:, :]], -1)
+    else:
+        starts = jnp.arange(num_frames) * hop_length
+        idx = starts[:, None] + jnp.arange(n_fft)[None, :]
+        frames = xp[..., idx]
+    frames = frames * window  # (..., num_frames, n_fft)
     spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
     return jnp.swapaxes(spec, -1, -2)
 
 
 def istft(spec, n_fft: int, hop_length: int, window, length: int):
     """Inverse STFT via windowed overlap-add (torch.istft convention).
+
+    For the common 50%-overlap case (``hop == n_fft // 2``) the
+    overlap-add is scatter-free: each hop segment receives exactly two
+    frame halves, so OLA becomes a reshape + add (TPU scatters
+    serialize; this path is ~an order of magnitude faster there).
 
     Args:
         spec: ``(..., n_fft // 2 + 1, num_frames)`` complex spectrogram.
@@ -44,20 +55,37 @@ def istft(spec, n_fft: int, hop_length: int, window, length: int):
     frames = frames * window  # (..., num_frames, n_fft)
     num_frames = frames.shape[-2]
     total = n_fft + hop_length * (num_frames - 1)
-
-    starts = jnp.arange(num_frames) * hop_length
-    idx = (starts[:, None] + jnp.arange(n_fft)[None, :]).reshape(-1)
-
     batch_shape = frames.shape[:-2]
-    flat = frames.reshape((-1, num_frames * n_fft))
-    y = jnp.zeros((flat.shape[0], total), dtype=frames.dtype)
-    y = y.at[:, idx].add(flat)
-    y = y.reshape(batch_shape + (total,))
 
-    wsq = jnp.zeros((total,), dtype=frames.dtype)
-    wsq = wsq.at[idx].add(jnp.tile(window * window, num_frames))
+    if 2 * hop_length == n_fft:
+        first = frames[..., :hop_length]  # (..., M, H)
+        second = frames[..., hop_length:]
+        pad_cfg = [(0, 0)] * (frames.ndim - 2) + [(1, 0), (0, 0)]
+        prev_second = jnp.pad(second, pad_cfg)[..., :-1, :]
+        y = (first + prev_second).reshape(batch_shape + (num_frames * hop_length,))
+        y = jnp.concatenate([y, second[..., -1, :]], axis=-1)
+
+        w2 = window * window
+        w_first, w_second = w2[:hop_length], w2[hop_length:]
+        wsq_mid = w_first + w_second
+        wsq = jnp.concatenate(
+            [
+                jnp.tile(w_first, 1),
+                jnp.tile(wsq_mid, max(num_frames - 1, 0)),
+                w_second,
+            ]
+        )[:total]
+    else:
+        starts = jnp.arange(num_frames) * hop_length
+        idx = (starts[:, None] + jnp.arange(n_fft)[None, :]).reshape(-1)
+        flat = frames.reshape((-1, num_frames * n_fft))
+        y = jnp.zeros((flat.shape[0], total), dtype=frames.dtype)
+        y = y.at[:, idx].add(flat)
+        y = y.reshape(batch_shape + (total,))
+        wsq = jnp.zeros((total,), dtype=frames.dtype)
+        wsq = wsq.at[idx].add(jnp.tile(window * window, num_frames))
+
     y = y / jnp.maximum(wsq, 1e-11)
-
     start = n_fft // 2
     return y[..., start : start + length]
 

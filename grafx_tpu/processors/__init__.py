@@ -16,6 +16,7 @@ from grafx_tpu.processors.dynamics import (
     ApproxNoiseGate,
     BallisticsEnvelopeFollower,
     Compressor,
+    FactorizedCompressor,
     IIREnvelopeFollower,
     NoiseGate,
 )
@@ -69,6 +70,7 @@ __all__ = [
     "ChebyshevDistortion",
     "Compressor",
     "DryWet",
+    "FactorizedCompressor",
     "FeedbackDelayNetwork",
     "FilteredNoiseShapingReverb",
     "FIRFilter",

@@ -187,6 +187,54 @@ class NoiseGate(Compressor):
         )
 
 
+class FactorizedCompressor(Compressor):
+    """Compressor with *frame-factorized* ballistics smoothing.
+
+    The reference ships this as a constructor-only stub
+    (reference: dynamics.py:724-739, and the commented
+    ``FramewiseBallistics`` sketch at core/envelope.py:104-121); the
+    intended design — run the data-dependent attack/release recursion at
+    the *frame* level instead of per sample — is implemented here.
+
+    The per-channel energy is mean-pooled into frames of ``frame_len``,
+    the ballistics recursion runs over the ~L/frame_len frame sequence
+    (hundreds of steps instead of 10^5+), and the smoothed envelope is
+    linearly interpolated back to sample rate.  This trades a small
+    envelope lag for a ~frame_len-times shorter sequential recursion.
+    """
+
+    def __init__(self, frame_len=1024, gain_smoother=None,
+                 gain_smooth_in_log=False, knee="quadratic", **backend_kwargs):
+        super().__init__(
+            energy_smoother="ballistics",
+            gain_smoother=gain_smoother,
+            gain_smooth_in_log=gain_smooth_in_log,
+            knee=knee,
+            **backend_kwargs,
+        )
+        self.frame_len = frame_len
+        ballistics = self.energy_smoother_module
+
+        class _FrameSmoother:
+            def __call__(_self, energy, z_alpha):
+                B, L = energy.shape
+                pad = (-L) % self.frame_len
+                e = jnp.pad(energy, ((0, 0), (0, pad)))
+                frames = e.reshape(B, -1, self.frame_len).mean(-1)
+                smoothed = ballistics(frames, z_alpha=z_alpha)
+                # linear interpolation back to sample rate
+                n_frames = smoothed.shape[-1]
+                t = (jnp.arange(L) + 0.5) / self.frame_len - 0.5
+                lo = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, n_frames - 1)
+                hi = jnp.clip(lo + 1, 0, n_frames - 1)
+                frac = jnp.clip(t - lo, 0.0, 1.0)
+                return (
+                    smoothed[:, lo] * (1.0 - frac) + smoothed[:, hi] * frac
+                )
+
+        self.energy_smoother_module = _FrameSmoother()
+
+
 class ApproxCompressor:
     """Deprecated v0.5 compressor: IIR envelope + quadratic knee
     (reference: dynamics.py:8-120)."""

@@ -167,3 +167,34 @@ def test_render_mimo_split_and_merge():
     out, _, _ = render_grafx(processors, x, {}, render_data)
     # split into 0.25x + 0.75x then summed back: identity
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_common_parameters_drywet():
+    """DryWet with external_param: one shared drywet tensor indexed by
+    node id via common_parameters (reference: container.py:10-82,
+    render/graph.py:132-141)."""
+    from grafx_tpu.processors import DryWet, TanhDistortion
+
+    config = NodeConfigs(["dist"])
+    G = GRAFX(config=config)
+    G.add_serial_chain(["in", "dist", "dist", "out"])
+    processors = {"dist": DryWet(TanhDistortion(), external_param=True)}
+    G_t = reorder_for_fast_render(convert_to_tensor(G), method="greedy")
+    render_data = prepare_render(G_t)
+    parameters = create_empty_parameters(processors, G)
+
+    x = 2.0 * jnp.ones((1, 2, 256))
+    num_nodes = G_t.num_nodes
+    # drywet weight per node id; -20 => fully dry everywhere
+    common = {"drywet_weight": jnp.full((num_nodes, 1), -20.0)}
+    out_dry, _, _ = render_grafx(
+        processors, x, parameters, render_data, common_parameters=common
+    )
+    np.testing.assert_allclose(np.asarray(out_dry), np.asarray(x), atol=1e-4)
+
+    # fully wet: output passes through two tanh stages
+    common_wet = {"drywet_weight": jnp.full((num_nodes, 1), 20.0)}
+    out_wet, _, _ = render_grafx(
+        processors, x, parameters, render_data, common_parameters=common_wet
+    )
+    assert float(jnp.abs(out_wet).max()) < 1.5  # tanh-compressed

@@ -79,3 +79,30 @@ def test_envelope_followers():
     assert env_iir.shape == (3, 2**12)
     assert env_bal.shape == (3, 2**12)
     assert jnp.isfinite(env_iir).all() and jnp.isfinite(env_bal).all()
+
+
+def test_factorized_compressor():
+    from grafx_tpu.processors import FactorizedCompressor
+
+    _test_single_processor(
+        FactorizedCompressor(frame_len=256), audio_len=2**12
+    )
+
+
+def test_factorized_compressor_compresses():
+    """The frame-factorized compressor attenuates loud signals like its
+    per-sample counterpart (envelopes operate at frame scale, so outputs
+    are not bit-comparable)."""
+    from grafx_tpu.processors import FactorizedCompressor
+
+    comp = FactorizedCompressor(frame_len=128, knee="hard")
+    B, C, L = 1, 2, 2**13
+    loud = 10.0 * jnp.ones((B, C, L))
+    params = dict(
+        log_threshold=jnp.full((B, 1), -2.0),
+        log_ratio=jnp.full((B, 1), 2.0),
+        z_alpha_pre=jnp.full((B, 2), 4.0),  # slow smoothing
+    )
+    out = comp(loud, **params)
+    assert float(jnp.abs(out[..., L // 2 :]).max()) < 10.0
+    assert jnp.isfinite(out).all()
