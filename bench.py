@@ -110,22 +110,26 @@ def main():
     target = jax.random.normal(jax.random.PRNGKey(2), (1, 2, AUDIO_LEN))
 
     @jax.jit
-    def grad_step(p):
+    def train_step(p):
         def loss_fn(p):
             out, _, _ = render(x, p)
             return jnp.mean((out - target) ** 2)
 
-        return jax.value_and_grad(loss_fn)(p)
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        # a real optimizer update: params change every step (also defeats
+        # any same-args caching in the runtime)
+        p = jax.tree.map(lambda w, g: w - 1e-3 * g, p, grads)
+        return loss, p
 
     # compile + warmup
-    (loss, grads) = grad_step(params)
-    jax.block_until_ready(grads)
+    loss, params = train_step(params)
+    jax.block_until_ready(params)
 
     iters = 20
     t0 = time.time()
     for _ in range(iters):
-        loss, grads = grad_step(params)
-    jax.block_until_ready(grads)
+        loss, params = train_step(params)
+    jax.block_until_ready(params)
     step_s = (time.time() - t0) / iters
 
     audio_sec = NUM_CHAINS * AUDIO_LEN / SR

@@ -1,11 +1,16 @@
 """Pallas TPU kernel for the ballistics forward recursion.
 
 The recursion ``y[n] = y[n-1] + c[n] (u[n] - y[n-1])`` with a per-sample
-coefficient choice cannot be parallelized over time, so we run it
-sequentially on-chip with the channel batch laid out across vector lanes
-and sublanes: ``u`` is viewed as ``(L, S, 128)`` (S sublane groups of 128
-channels) and the TPU grid walks time chunks in order while a VMEM scratch
-buffer carries the filter state between chunks.
+coefficient choice cannot be parallelized over time, so it runs
+sequentially on-chip with channels across the 128 vector lanes and time
+across sublanes.
+
+Layout matters enormously here: a 3D ``(time, 1, 128)`` block pads every
+time step to a full (8, 128) register tile (measured ~200 ns/sample).
+This kernel is strictly 2D — ``u`` viewed as ``(L, 128)`` per lane-group,
+grid ``(lane_groups, time_chunks)`` — and walks aligned ``(8, 128)``
+sublane tiles with a statically unrolled inner loop, keeping the
+recursion near the VPU issue rate.
 
 This replaces torchcomp's CUDA/Numba recursion (the reference's backend,
 src/grafx/processors/core/envelope.py:63-101).  The backward pass is a
@@ -20,26 +25,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
+TILE = 8
 
 
 def _kernel(zi_ref, at_ref, rt_ref, u_ref, y_ref, state, *, chunk):
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _():
         state[:] = zi_ref[:]
 
-    def body(i, _):
-        row = u_ref[i]
-        st = state[:]
-        c = jnp.where(row > st, at_ref[:], rt_ref[:])
-        new = st + c * (row - st)
-        state[:] = new
-        y_ref[i] = new
-        return 0
+    at = at_ref[:]  # (1, LANES)
+    rt = rt_ref[:]
 
-    jax.lax.fori_loop(0, chunk, body, 0)
+    def body(j, st):
+        tile = u_ref[pl.ds(j * TILE, TILE), :]  # (TILE, LANES), one reg tile
+        rows = []
+        for k in range(TILE):
+            row = tile[k : k + 1, :]
+            c = jnp.where(row > st, at, rt)
+            st = st + c * (row - st)
+            rows.append(st)
+        y_ref[pl.ds(j * TILE, TILE), :] = jnp.concatenate(rows, axis=0)
+        return st
+
+    st = jax.lax.fori_loop(0, chunk // TILE, body, state[:])
+    state[:] = st
 
 
-def forward_pallas(u, zi, at, rt, chunk: int = 512):
+def forward_pallas(u, zi, at, rt, chunk: int = 2048):
     """Ballistics forward on TPU.
 
     Args:
@@ -55,31 +67,29 @@ def forward_pallas(u, zi, at, rt, chunk: int = 512):
     Lp = -(-L // chunk) * chunk
 
     ut = jnp.zeros((Lp, Np), u.dtype).at[:L, :N].set(u.T)
-    ut = ut.reshape(Lp, S, LANES)
 
     def expand(v):
         return jnp.zeros((Np,), v.dtype).at[:N].set(v).reshape(S, LANES)
 
     zi2, at2, rt2 = expand(zi), expand(at), expand(rt)
 
-    grid = (Lp // chunk,)
+    grid = (S, Lp // chunk)
     y = pl.pallas_call(
         functools.partial(_kernel, chunk=chunk),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((S, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda s, i: (s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda s, i: (s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda s, i: (s, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (chunk, S, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (chunk, LANES), lambda s, i: (i, s), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (chunk, S, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (chunk, LANES), lambda s, i: (i, s), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((Lp, S, LANES), u.dtype),
-        scratch_shapes=[pltpu.VMEM((S, LANES), u.dtype)],
+        out_shape=jax.ShapeDtypeStruct((Lp, Np), u.dtype),
+        scratch_shapes=[pltpu.VMEM((1, LANES), u.dtype)],
     )(zi2, at2, rt2, ut)
 
-    y = y.reshape(Lp, Np)[:L, :N]
-    return y.T
+    return y[:L, :N].T

@@ -399,6 +399,116 @@ def _cascade_kernels(b, a, T):
     return H_cas, W, V, A_blk
 
 
+def _cascade_kernels_doubling(b, a, T):
+    """Blocked-cascade operator kernels via log-depth composition.
+
+    Same output as :func:`_cascade_kernels`, but built by *doubling*:
+    adjacent stage-groups are composed pairwise, so the whole operator is
+    assembled in ``ceil(log2 K)`` batched rounds instead of ``K``
+    sequential ones.  TPU FFTs are matmul-based and hate many small
+    sequential calls; each round here is a handful of large batched FFTs
+    plus MXU matmuls.
+
+    Composition of upstream group 1 with downstream group 2 (each a
+    blocked linear system ``(s, x) -> (s', y)`` with kernels H, V, W, A):
+
+        H   = trunc(H1 * H2)
+        V   = [trunc(V1 * H2); V2]
+        W   = [W1; rev(trunc(H1 * rev(W2)))]
+        A   = [[A1, 0], [V1 W2^T, A2]]
+
+    K is padded to a power of two with identity stages (zero kernels).
+    """
+    N, K, _ = b.shape
+    import math as _math
+
+    K_pad = 1 << max((K - 1).bit_length(), 0)
+
+    # per-stage primitive kernels (same math as _cascade_kernels)
+    a1f, a2f = a[..., 1].reshape(-1), a[..., 2].reshape(-1)
+    p, q = _companion_powers(a1f, a2f, T)
+    p = p.reshape(N, K, T + 1)
+    q = q.reshape(N, K, T + 1)
+    p_prev = jnp.concatenate([jnp.zeros_like(p[..., :1]), p[..., :-1]], -1)
+    q_prev = jnp.concatenate([jnp.ones_like(q[..., :1]), q[..., :-1]], -1)
+
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    a1, a2 = a[..., 1], a[..., 2]
+    c0, c1 = b1 - b0 * a1, b2 - b0 * a2
+
+    CA0 = c0[..., None] * p[..., :T] + c1[..., None] * p_prev[..., :T]
+    CA1 = c0[..., None] * q[..., :T] + c1[..., None] * q_prev[..., :T]
+    CA = jnp.stack([CA0, CA1], axis=-2)  # (N, K, 2, T)
+    h = jnp.concatenate([b0[..., None], CA0[..., : T - 1]], axis=-1)
+    phi = jnp.stack([p[..., :T], p_prev[..., :T]], axis=-2)  # (N, K, 2, T)
+    AT = jnp.stack(
+        [
+            jnp.stack([p[..., T], q[..., T]], -1),
+            jnp.stack([p[..., T - 1], q[..., T - 1]], -1),
+        ],
+        axis=-2,
+    )  # (N, K, 2, 2)
+
+    # pad stages to K_pad with identity stages: h = delta, all state
+    # kernels zero (the extra states never charge or discharge)
+    if K_pad != K:
+        pad_n = K_pad - K
+        delta = jnp.zeros((N, pad_n, T), h.dtype).at[..., 0].set(1.0)
+        h = jnp.concatenate([h, delta], axis=1)
+        CA = jnp.concatenate([CA, jnp.zeros((N, pad_n, 2, T), h.dtype)], 1)
+        phi = jnp.concatenate([phi, jnp.zeros((N, pad_n, 2, T), h.dtype)], 1)
+        AT = jnp.concatenate([AT, jnp.zeros((N, pad_n, 2, 2), h.dtype)], 1)
+
+    # initial groups: one stage each. Group tensors (N, G, R, T) etc.
+    G = K_pad
+    H = h[:, :, None, :][..., 0, :]  # (N, G, T)
+    V = CA  # (N, G, 2, T)
+    # single-stage injection kernels: W = reverse(phi)
+    W = phi[..., ::-1]  # (N, G, 2, T)
+    A = AT  # (N, G, 2, 2)
+
+    n2 = 2 * T
+
+    def tconv_freq(Xf, Yf):
+        return jnp.fft.irfft(Xf * Yf, n=n2)[..., :T]
+
+    while G > 1:
+        H1, H2 = H[:, 0::2], H[:, 1::2]  # (N, G/2, T)
+        V1, V2 = V[:, 0::2], V[:, 1::2]  # (N, G/2, R, T)
+        W1, W2 = W[:, 0::2], W[:, 1::2]
+        A1, A2 = A[:, 0::2], A[:, 1::2]  # (N, G/2, R, R)
+
+        H1f = jnp.fft.rfft(H1, n=n2)
+        H2f = jnp.fft.rfft(H2, n=n2)
+        V1f = jnp.fft.rfft(V1, n=n2)
+        W2rf = jnp.fft.rfft(W2[..., ::-1], n=n2)
+
+        H = tconv_freq(H1f, H2f)
+        V1H2 = tconv_freq(V1f, H2f[..., None, :])
+        W2c = tconv_freq(H1f[..., None, :], W2rf)[..., ::-1]
+        B = jnp.einsum("ngst,ngrt->ngsr", W2, V1)  # (N, G/2, R2, R1)
+
+        R = V.shape[2]
+        zeros = jnp.zeros_like(B)
+        A = jnp.concatenate(
+            [
+                jnp.concatenate([A1, jnp.swapaxes(zeros, -1, -2)], -1),
+                jnp.concatenate([B, A2], -1),
+            ],
+            axis=-2,
+        )  # (N, G/2, 2R, 2R)
+        V = jnp.concatenate([V1H2, V2], axis=2)
+        W = jnp.concatenate([W1, W2c], axis=2)
+        G //= 2
+
+    H_cas, V, W, A_blk = H[:, 0], V[:, 0], W[:, 0], A[:, 0]
+    S = 2 * K
+    # drop identity-padding states (they are zero rows/cols at the tail
+    # of each merged half... padding stages were appended at the END of
+    # the cascade, so their rows are the trailing ones)
+    return H_cas, W[:, :S], V[:, :S], A_blk[:, :S, :S]
+
+
 def _biquad_block_cascade(x, b, a, T):
     """Exact biquad cascade via the single-pass blocked operator.
 
@@ -411,7 +521,7 @@ def _biquad_block_cascade(x, b, a, T):
     xp = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
     xb = xp.reshape(N, num_blocks, T)
 
-    H_cas, W, V, A_blk = _cascade_kernels(b, a, T)
+    H_cas, W, V, A_blk = _cascade_kernels_doubling(b, a, T)
     S = W.shape[1]
 
     # (1) zero-state response: one causal FFT convolution
