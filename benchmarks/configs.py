@@ -1,0 +1,158 @@
+"""The five BASELINE.md benchmark configurations.
+
+Each config builds a graph + processors, renders with a real optimizer
+loop (inputs change every step — see MEMORY: the tunneled runtime caches
+repeated identical calls), and reports audio-sec/sec/chip.
+
+Run:  python benchmarks/configs.py [1-5|all]
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from grafx_tpu.data import GRAFX, NodeConfigs, convert_to_tensor
+from grafx_tpu.processors import (
+    BiquadFilter,
+    Compressor,
+    NewZeroPhaseFIREqualizer,
+    NoiseGate,
+    ParametricEqualizer,
+    STFTMaskedNoiseReverb,
+    StateVariableFilter,
+    StereoGain,
+    SideGainImager,
+)
+from grafx_tpu.render import make_render_fn, prepare_render, reorder_for_fast_render
+from grafx_tpu.utils import create_empty_parameters
+
+SR = 44100
+
+
+def _measure(G, processors, num_sources, audio_len, batch=None, iters=10):
+    G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
+    plan = prepare_render(G_t)
+    params = create_empty_parameters(processors, G, key=jax.random.PRNGKey(0))
+    render = make_render_fn(processors, plan, jit=False)
+
+    shape = (num_sources, 2, audio_len)
+    if batch:
+        shape = (batch,) + shape
+    x = jax.random.normal(jax.random.PRNGKey(1), shape)
+
+    @jax.jit
+    def step(p):
+        def loss(p):
+            out, _, _ = render(x, p)
+            return jnp.mean(out**2)
+
+        l, g = jax.value_and_grad(loss)(p)
+        return l, jax.tree.map(lambda w, gg: w - 1e-3 * gg, p, g)
+
+    l, params = step(params)
+    jax.block_until_ready(params)
+    t0 = time.time()
+    for _ in range(iters):
+        l, params = step(params)
+    jax.block_until_ready(params)
+    dt = (time.time() - t0) / iters
+    audio_sec = (batch or 1) * num_sources * audio_len / SR
+    return dt, audio_sec / dt
+
+
+def config1():
+    """3-node mono-ish chain: gain -> imager -> parametric EQ, 1 s."""
+    procs = {
+        "gain": StereoGain(),
+        "pan": SideGainImager(),
+        "eq": ParametricEqualizer(num_filters=6, backend="exact"),
+    }
+    G = GRAFX(config=NodeConfigs(sorted(procs)))
+    G.add_serial_chain(["in", "gain", "pan", "eq", "out"])
+    return _measure(G, procs, 1, SR)
+
+
+def config2():
+    """Zero-phase EQ + FFT-convolution reverb graph, batch 16, 5 s."""
+    procs = {
+        "zpeq": NewZeroPhaseFIREqualizer(num_frequency_bins=1024),
+        "reverb": STFTMaskedNoiseReverb(ir_len=60000),
+    }
+    G = GRAFX(config=NodeConfigs(sorted(procs)))
+    G.add_serial_chain(["in", "zpeq", "reverb", "out"])
+    return _measure(G, procs, 1, 5 * SR, batch=16)
+
+
+def config3():
+    """Biquad/SVF IIR filter-bank graph, exact backend."""
+    procs = {
+        "biquad": BiquadFilter(num_filters=4, backend="exact"),
+        "svf": StateVariableFilter(num_filters=4, backend="exact"),
+    }
+    G = GRAFX(config=NodeConfigs(sorted(procs)))
+    ends = []
+    for _ in range(8):
+        _, last = G.add_serial_chain(["in", "biquad", "svf"])
+        ends.append(last)
+    mix = G.add("mix")
+    [G.connect(e, mix) for e in ends]
+    out = G.add("out")
+    G.connect(mix, out)
+    return _measure(G, procs, 8, 2**17)
+
+
+def config4():
+    """Dynamics graph: compressor + noisegate, ballistics smoothing."""
+    procs = {
+        "comp": Compressor(energy_smoother="ballistics"),
+        "gate": NoiseGate(energy_smoother="ballistics"),
+    }
+    G = GRAFX(config=NodeConfigs(sorted(procs)))
+    ends = []
+    for _ in range(8):
+        _, last = G.add_serial_chain(["in", "gate", "comp"])
+        ends.append(last)
+    mix = G.add("mix")
+    [G.connect(e, mix) for e in ends]
+    out = G.add("out")
+    G.connect(mix, out)
+    return _measure(G, procs, 8, 2**17)
+
+
+def config5():
+    """Full ~100-node mixing console (the bench.py headline)."""
+    import bench
+
+    bench.main()
+    return None
+
+
+CONFIGS = {"1": config1, "2": config2, "3": config3, "4": config4, "5": config5}
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    names = sorted(CONFIGS) if which == "all" else [which]
+    for n in names:
+        result = CONFIGS[n]()
+        if result is not None:
+            dt, aps = result
+            print(
+                json.dumps(
+                    {
+                        "config": int(n),
+                        "grad_step_ms": round(dt * 1000, 2),
+                        "audio_sec_per_sec_per_chip": round(aps, 1),
+                    }
+                ),
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()
