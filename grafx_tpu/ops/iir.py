@@ -167,16 +167,25 @@ def _companion_powers(a1, a2, T):
     l2 = (-a1c - sq) / 2.0
 
     n = jnp.arange(T + 2)
-    # guard zero eigenvalues (complex pow -> log(0) NaN at n=0)
+
+    # complex powers in explicit polar-real form: XLA's generic complex
+    # pow lowers to a slow path on TPU (measured ~7 ms for (432, 1026));
+    # exp/cos/sin on reals is ~100x faster
     def safe_pow(lam):
-        lam = jnp.where(jnp.abs(lam) < 1e-20, 1e-20 + 0.0j, lam)
-        return lam[:, None] ** n[None, :]
+        mag = jnp.maximum(jnp.abs(lam), 1e-20)
+        ang = jnp.arctan2(lam.imag, lam.real)
+        logmag = jnp.log(mag)
+        nl = n[None, :] * logmag[:, None]
+        na = n[None, :] * ang[:, None]
+        r = jnp.exp(nl)
+        return jax.lax.complex(r * jnp.cos(na), r * jnp.sin(na))
 
     S = (safe_pow(l1) - safe_pow(l2)) / sq[:, None]  # (N, T+2)
 
     lmid = -a1c / 2.0
     lmid = jnp.where(jnp.abs(lmid) < 1e-20, 1e-20 + 0.0j, lmid)
-    S_double = n * lmid[:, None] ** jnp.maximum(n - 1, 0)[None, :]
+    # S_double[n] = n * lmid^(n-1) = n * lmid^n / lmid (safe: |lmid|>=1e-20)
+    S_double = n * safe_pow(lmid) / lmid[:, None]
 
     S = jnp.where(double_root[:, None], S_double, S)
 
@@ -530,15 +539,19 @@ def _biquad_block_cascade(x, b, a, T):
     # (2) per-block state injection (MXU)
     s_in = jnp.einsum("nbt,nst->nbs", xb, W)  # (N, NB, S)
 
-    # (3) cross-block state propagation: affine associative scan
-    M = jnp.broadcast_to(A_blk[:, None], (N, num_blocks, S, S))
-
-    def combine(first, second):
-        M1, v1 = first
-        M2, v2 = second
-        return M2 @ M1, jnp.einsum("...ij,...j->...i", M2, v1) + v2
-
-    _, s_after = jax.lax.associative_scan(combine, (M, s_in), axis=1)
+    # (3) cross-block state propagation.  The transition matrix is the
+    # same for every block, so instead of a generic associative scan over
+    # (M, v) pairs (which materializes NB copies of M and multiplies them
+    # at every level), run prefix doubling on the vectors alone:
+    #   v[k] += A^(2^l) v[k - 2^l],  A^(2^(l+1)) = (A^(2^l))^2.
+    s_after = s_in
+    A_pow = A_blk
+    shift = 1
+    while shift < num_blocks:
+        shifted = jnp.pad(s_after, ((0, 0), (shift, 0), (0, 0)))[:, :num_blocks]
+        s_after = s_after + jnp.einsum("nij,nbj->nbi", A_pow, shifted)
+        A_pow = A_pow @ A_pow
+        shift *= 2
     zeros = jnp.zeros_like(s_after[:, :1])
     s_enter = jnp.concatenate([zeros, s_after[:, :-1]], axis=1)  # (N, NB, S)
 
