@@ -152,18 +152,32 @@ def render_grafx(
     return output_signals, intermediates_list, signal_buffer
 
 
+_RENDER_FN_CACHE = {}
+
+
 def make_render_fn(processors, render_data, jit=True, donate_buffer=False):
     """Build a render closure over static (processors, plan).
 
     The returned function has signature
     ``f(input_signals, per_type_parameters, common_parameters=None)`` and
-    is jit-compiled once per (plan, shapes) pair.
+    is jit-compiled once per (plan, shapes) pair.  Closures are cached by
+    (plan, processor identities): two graphs with identical schedules
+    share one compiled program (SURVEY.md §7 hard part 3 — every distinct
+    plan is otherwise a recompile).
 
     Args:
         processors: type -> processor callable mapping (static).
         render_data: static :class:`RenderData` plan.
         jit: wrap in ``jax.jit``.
     """
+    cache_key = (
+        render_data,
+        tuple(sorted((k, id(v)) for k, v in processors.items())),
+        jit,
+    )
+    cached = _RENDER_FN_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
 
     def render_fn(input_signals, per_type_parameters, common_parameters=None):
         return render_grafx(
@@ -175,5 +189,6 @@ def make_render_fn(processors, render_data, jit=True, donate_buffer=False):
         )
 
     if jit and render_data.method != "one-by-one":
-        return jax.jit(render_fn)
+        render_fn = jax.jit(render_fn)
+    _RENDER_FN_CACHE[cache_key] = render_fn
     return render_fn

@@ -198,3 +198,15 @@ def test_common_parameters_drywet():
         processors, x, parameters, render_data, common_parameters=common_wet
     )
     assert float(jnp.abs(out_wet).max()) < 1.5  # tanh-compressed
+
+
+def test_make_render_fn_caches_identical_plans():
+    """Two graphs with the same topology share one compiled closure."""
+    processors = {"gain": StereoGain()}
+    fns = []
+    for _ in range(2):
+        G = build_gain_graph()
+        G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
+        plan = prepare_render(G_t)
+        fns.append(make_render_fn(processors, plan))
+    assert fns[0] is fns[1]
