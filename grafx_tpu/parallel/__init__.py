@@ -34,6 +34,16 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
+def node_sharding(mesh, axis_name="batch"):
+    """Sharding for ``(|V_0|, C, L)`` inputs / the signal buffer: shard
+    the node axis.  The analog of tensor parallelism for audio graphs —
+    each stage's node batch splits across devices and XLA inserts
+    collectives where edges cross shards (e.g. at ``mix`` fan-ins).
+    Useful for very large graphs; for batched workloads prefer
+    :func:`batch_sharding` (no signal traffic at all)."""
+    return NamedSharding(mesh, P(axis_name))
+
+
 def shard_render_step(render_fn, mesh, axis_name="batch"):
     """Wrap a batched render/loss step so inputs shard over the mesh data
     axis and parameters replicate.
@@ -57,6 +67,7 @@ __all__ = [
     "P",
     "batch_sharding",
     "make_mesh",
+    "node_sharding",
     "replicated",
     "shard_render_step",
 ]

@@ -100,3 +100,43 @@ def test_dryrun_multichip_entrypoint():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_node_parallel_render_matches_single_device(setup):
+    """Shard the node axis: per-stage node batches split across devices;
+    XLA inserts collectives at mix fan-ins. Output must match."""
+    from grafx_tpu.parallel import node_sharding
+
+    render, params = setup
+    mesh = make_mesh(8)
+    # 8 sources -> 'in' stage has 8 nodes, divisible across the mesh
+    config = NodeConfigs(["gain"])
+    G = GRAFX(config=config)
+    ends = []
+    for _ in range(8):
+        _, last = G.add_serial_chain(["in", "gain"])
+        ends.append(last)
+    mix = G.add("mix")
+    for e in ends:
+        G.connect(e, mix)
+    out = G.add("out")
+    G.connect(mix, out)
+    processors = {"gain": StereoGain()}
+    G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
+    plan = prepare_render(G_t)
+    params8 = create_empty_parameters(processors, G)
+    render8 = make_render_fn(processors, plan, jit=False)
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (8, 2, 2**10))
+    x_sharded = jax.device_put(x, node_sharding(mesh))
+    params_sharded = jax.device_put(params8, node_sharding(mesh))
+
+    def fwd(x, p):
+        out, _, _ = render8(x, p)
+        return out
+
+    out_sharded = jax.jit(fwd)(x_sharded, params_sharded)
+    out_single = jax.jit(fwd)(x, params8)
+    np.testing.assert_allclose(
+        np.asarray(out_sharded), np.asarray(out_single), rtol=1e-5, atol=1e-6
+    )
