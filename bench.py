@@ -91,6 +91,9 @@ def build_mix_graph():
 
 
 def main():
+    from grafx_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     G = build_mix_graph()
     num_nodes = G.number_of_nodes()
 

