@@ -90,16 +90,20 @@ def _ballistics_bwd(res, g):
     c = jnp.where(attack, at[:, None], rt[:, None])  # (N, L)
 
     # Adjoint recursion (reverse time):  gh[n] = g[n] + (1 - c[n+1]) gh[n+1].
-    # Linear with known coefficients -> parallel suffix scan over affine
-    # maps (a, b): s -> a * s + b, composed right-to-left.
     a = jnp.concatenate([1.0 - c[:, 1:], jnp.zeros_like(c[:, :1])], axis=1)
 
-    def combine(inner, outer):
-        a_i, b_i = inner
-        a_o, b_o = outer
-        return a_o * a_i, a_o * b_i + b_o
+    if _use_pallas():
+        from grafx_tpu.ops.ballistics_tpu import reverse_scan_pallas
 
-    _, gh = jax.lax.associative_scan(combine, (a, g), axis=1, reverse=True)
+        gh = reverse_scan_pallas(a, g)
+    else:
+
+        def combine(inner, outer):
+            a_i, b_i = inner
+            a_o, b_o = outer
+            return a_o * a_i, a_o * b_i + b_o
+
+        _, gh = jax.lax.associative_scan(combine, (a, g), axis=1, reverse=True)
 
     du = c * gh
     dc = (u - y_prev) * gh

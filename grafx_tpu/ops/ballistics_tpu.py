@@ -51,6 +51,75 @@ def _kernel(zi_ref, at_ref, rt_ref, u_ref, y_ref, state, *, chunk):
     state[:] = st
 
 
+def _bwd_kernel(a_ref, g_ref, gh_ref, state, *, chunk):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        state[:] = jnp.zeros_like(state)
+
+    def body(j, st):
+        # walk tiles back-to-front; rows within a tile back-to-front
+        base = chunk - (j + 1) * TILE
+        a_tile = a_ref[pl.ds(base, TILE), :]
+        g_tile = g_ref[pl.ds(base, TILE), :]
+        rows = []
+        for k in range(TILE - 1, -1, -1):
+            st = g_tile[k : k + 1, :] + a_tile[k : k + 1, :] * st
+            rows.append(st)
+        gh_ref[pl.ds(base, TILE), :] = jnp.concatenate(rows[::-1], axis=0)
+        return st
+
+    st = jax.lax.fori_loop(0, chunk // TILE, body, state[:])
+    state[:] = st
+
+
+def reverse_scan_pallas(a, g, chunk: int = 2048):
+    """Reverse first-order recurrence ``gh[n] = g[n] + a[n] * gh[n+1]``
+    (with ``gh[L] = 0``) — the ballistics adjoint — as a sequential Pallas
+    kernel (same 2D layout as the forward; beats the log-depth
+    associative scan's multi-pass memory traffic).
+
+    Args:
+        a, g: ``(N, L)``.
+    """
+    N, L = a.shape
+    S = -(-N // LANES)
+    Np = S * LANES
+    Lp = -(-L // chunk) * chunk
+
+    # pad at the FRONT so the reverse walk starts at the true end; the
+    # pad region (a=0, g=0) then only affects entries before the start
+    pad = Lp - L
+    at_ = jnp.zeros((Lp, Np), a.dtype).at[pad:, :N].set(a.T)
+    gt_ = jnp.zeros((Lp, Np), g.dtype).at[pad:, :N].set(g.T)
+
+    grid = (S, Lp // chunk)
+    gh = pl.pallas_call(
+        functools.partial(_bwd_kernel, chunk=chunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (chunk, LANES),
+                lambda s, i: (pl.num_programs(1) - 1 - i, s),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (chunk, LANES),
+                lambda s, i: (pl.num_programs(1) - 1 - i, s),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (chunk, LANES),
+            lambda s, i: (pl.num_programs(1) - 1 - i, s),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((Lp, Np), a.dtype),
+        scratch_shapes=[pltpu.VMEM((1, LANES), a.dtype)],
+    )(at_, gt_)
+
+    return gh[pad:, :N].T
+
+
 def forward_pallas(u, zi, at, rt, chunk: int = 2048):
     """Ballistics forward on TPU.
 
