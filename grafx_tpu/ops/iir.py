@@ -278,7 +278,7 @@ def _biquad_block_stage(x, bk, ak, T):
     return y[:, :L]
 
 
-def biquad_exact(x, Bs, As, block_size: int = 256):
+def biquad_exact(x, Bs, As, block_size: int = 128):
     """Exact biquad cascade via the blocked state-space method.
 
     Args:

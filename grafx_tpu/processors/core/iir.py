@@ -39,7 +39,7 @@ class IIRFilter:
         order=2,
         backend="fsm",
         fsm_fir_len=4000,
-        exact_block_size=256,
+        exact_block_size=128,
         flashfftconv=False,
         fsm_max_input_len=2**17,
         fsm_regularization=False,
