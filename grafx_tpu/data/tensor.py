@@ -57,6 +57,14 @@ class GRAFXTensor:
         """Functional update (the tensor form is treated as immutable)."""
         return replace(self, **changes)
 
+    def to(self, device=None):
+        """API-familiarity no-op (reference: data/tensor.py:92-103).
+
+        The tensor form is a host-side compile-time artifact here;
+        schedules and plans bake into jitted programs, so nothing moves
+        to an accelerator."""
+        return self
+
     def __str__(self):
         parts = []
         for k, v in self.__dict__.items():
