@@ -13,8 +13,13 @@ filter** that needs no sequential per-sample work at all:
   the (exactly computed) length-``T`` truncated impulse response — an XLA
   FFT;
 * the state handed to the next block is a linear function of the incoming
-  state and the block's samples — two small matmuls (MXU) plus one tiny
-  associative scan over ``L / T`` 2x2 affine maps.
+  state and the block's samples — MXU matmuls plus constant-matrix prefix
+  doubling across the ``L / T`` blocks.
+
+For cascades of 3+ biquads the whole stack is treated as ONE blocked
+linear system with a ``2K``-dim state (``_biquad_block_cascade``): a
+single FFT convolution with the cascade IR plus small matmuls, with the
+operator kernels assembled by log-depth pairwise composition.
 
 This is exact to float precision (block truncation is *not* an
 approximation: older history flows through the state) and maps onto the
@@ -433,8 +438,6 @@ def _cascade_kernels_doubling(b, a, T):
     K is padded to a power of two with identity stages (zero kernels).
     """
     N, K, _ = b.shape
-    import math as _math
-
     K_pad = 1 << max((K - 1).bit_length(), 0)
 
     # per-stage primitive kernels (same math as _cascade_kernels)
