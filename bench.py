@@ -39,10 +39,10 @@ from grafx_tpu.utils import create_empty_parameters
 
 SR = 44100
 AUDIO_LEN = 2**17
-NUM_CHAINS = 14
+NUM_CHAINS = 17
 # Same-machine GRAFX-style torch-CPU proxy on this exact graph
-# (benchmarks/torch_proxy.py, measured 2026-08-16: 3080 ms/step).
-TORCH_CPU_PROXY_BASELINE = 13.51  # audio-sec/sec
+# (benchmarks/torch_proxy.py, measured 2026-08-16: 3677 ms/step).
+TORCH_CPU_PROXY_BASELINE = 13.74  # audio-sec/sec
 
 
 def build_mix_graph():

@@ -319,7 +319,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "torch-CPU GRAFX-style proxy, same 84-node graph,"
+                "metric": f"torch-CPU GRAFX-style proxy, same {proxy.G.number_of_nodes()}-node graph,"
                 f" fwd+bwd grad step {dt * 1000:.0f} ms",
                 "value": round(audio_sec / dt, 2),
                 "unit": "audio-sec/sec",
