@@ -218,7 +218,13 @@ class FilteredNoiseShapingReverb:
         self.arange = jnp.arange(ir_len, dtype=jnp.float32)[None, None, None, :]
 
     def __call__(
-        self, input_signals, log_decay, log_gain, log_fade_in=None, z_fade_in_gain=None
+        self,
+        input_signals,
+        log_decay,
+        log_gain,
+        log_fade_in=None,
+        z_fade_in_gain=None,
+        noise_key=None,
     ):
         log_decay = (
             jax.nn.sigmoid(log_decay) * (self.max_decay - self.min_decay)
@@ -236,19 +242,25 @@ class FilteredNoiseShapingReverb:
             envelope = envelope - fade_in * fade_in_gain
 
         envelope = envelope * log_gain[..., None]
-        ir = (self.get_noise() * envelope).sum(axis=2)  # (B, C, ir_len)
+        ir = (self.get_noise(noise_key) * envelope).sum(axis=2)  # (B, C, ir_len)
 
         if self.processor_channel == "midside":
             x = lr_to_ms(input_signals)
             return ms_to_lr(self.conv(x, normalize_impulse(ir)))
         return self.conv(input_signals, normalize_impulse(ir))
 
-    def get_noise(self):
+    def get_noise(self, noise_key=None):
+        """Noise buffer for this call.  ``"pseudo-random"`` takes a random
+        crop of the 5x-length buffer; pass ``noise_key`` (a jax PRNG key)
+        to keep the crop random *under jit* — without it the crop is drawn
+        with a host RNG and freezes at trace time."""
         if self.noise_randomness == "fixed":
             return self.filtered_noise
-        start = int(
-            self._crop_rng.integers(0, self.filtered_noise.shape[-1] - self.ir_len)
-        )
+        limit = self.filtered_noise.shape[-1] - self.ir_len
+        if noise_key is not None:
+            start = jax.random.randint(noise_key, (), 0, limit)
+        else:
+            start = int(self._crop_rng.integers(0, limit))
         return jax.lax.dynamic_slice_in_dim(
             self.filtered_noise, start, self.ir_len, axis=-1
         )
