@@ -33,3 +33,27 @@ def test_draw_vertical_and_labels(tmp_path):
     G = _mix_graph()
     fig, ax = draw_grafx(G, vertical=True, node_inside="node_id")
     fig.savefig(tmp_path / "graph_v.pdf")
+
+
+def test_positions_assigned_and_causal():
+    """Layout: every node gets coordinates; x increases along edges."""
+    from grafx_tpu.draw.position import compute_node_position
+
+    G = _mix_graph()
+    compute_node_position(G)
+    for _, d in G.nodes(data=True):
+        assert "x0" in d and "y0" in d
+    for s, t in G.edges():
+        assert G.nodes[s]["x0"] < G.nodes[t]["x0"]
+
+
+def test_color_handler():
+    from grafx_tpu.draw.style import NodeColorHandler
+
+    h = NodeColorHandler(node_types=["in", "out", "mix", "eq", "comp"])
+    assert h.get_facecolor("in") == "w"
+    assert h.get_edgecolor("in") == "b"
+    assert h.get_edgecolor("out") == "r"
+    assert h.get_facecolor("eq") != h.get_facecolor("comp")
+    custom = NodeColorHandler(facecolor_map={"eq": "#123456"})
+    assert custom.get_colors("eq")["facecolor"] == "#123456"
