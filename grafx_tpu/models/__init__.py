@@ -14,9 +14,12 @@ from grafx_tpu.models.console import (
     simple_chain,
 )
 from grafx_tpu.models.optimize import GraphParameterOptimizer
+from grafx_tpu.models.predictor import ParameterPredictor, audio_features
 
 __all__ = [
     "GraphParameterOptimizer",
+    "ParameterPredictor",
+    "audio_features",
     "mastering_chain",
     "mixing_console",
     "simple_chain",

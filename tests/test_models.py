@@ -44,3 +44,62 @@ def test_mrstft_loss_sane():
     nonzero_loss = multi_resolution_stft_loss(x, 0.3 * x)
     assert float(zero_loss) < 1e-5
     assert float(nonzero_loss) > float(zero_loss)
+
+
+def test_parameter_predictor_end_to_end():
+    """Neural parameter prediction trained through the graph render."""
+    import optax
+
+    from grafx_tpu.data import GRAFX, NodeConfigs, convert_to_tensor
+    from grafx_tpu.models import ParameterPredictor, audio_features
+    from grafx_tpu.processors import StereoGain, TanhDistortion
+    from grafx_tpu.render import (
+        make_render_fn,
+        prepare_render,
+        reorder_for_fast_render,
+    )
+
+    config = NodeConfigs(["gain", "dist"])
+    G = GRAFX(config=config)
+    ends = []
+    for _ in range(3):
+        _, last = G.add_serial_chain(["in", "dist", "gain"])
+        ends.append(last)
+    mix = G.add("mix")
+    [G.connect(e, mix) for e in ends]
+    out = G.add("out")
+    G.connect(mix, out)
+
+    processors = {"gain": StereoGain(), "dist": TanhDistortion()}
+    G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
+    plan = prepare_render(G_t)
+    render = make_render_fn(processors, plan, jit=False)
+
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (3, 2, 2**11))
+    target = 0.1 * x.sum(0, keepdims=True)
+
+    feats = audio_features(x, n_fft=256, hop=128, num_bands=16)  # (3, 32)
+    predictor = ParameterPredictor(processors, feature_dim=32, hidden=32)
+    weights = predictor.init(jax.random.PRNGKey(1))
+    # every gain/dist node conditions on its source's features
+    features_per_type = {"gain": feats, "dist": feats}
+
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(weights)
+
+    @jax.jit
+    def step(w, s):
+        def loss_fn(w):
+            p = predictor.apply(w, features_per_type)
+            out, _, _ = render(x, p)
+            return jnp.mean((out - target) ** 2)
+
+        l, g = jax.value_and_grad(loss_fn)(w)
+        updates, s = opt.update(g, s)
+        return optax.apply_updates(w, updates), s, l
+
+    losses = []
+    for _ in range(60):
+        weights, opt_state, l = step(weights, opt_state)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
