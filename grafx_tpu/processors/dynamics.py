@@ -17,6 +17,10 @@ def _make_smoother(kind, iir_len, **backend_kwargs):
     match kind:
         case "iir":
             return TruncatedOnePoleIIRFilter(iir_len=iir_len, **backend_kwargs)
+        case "iir_exact":
+            # TPU upgrade over the reference's truncated-FIR approximation:
+            # the exact blocked one-pole (ops/iir.py onepole_exact)
+            return TruncatedOnePoleIIRFilter(exact=True, **backend_kwargs)
         case "ballistics":
             return Ballistics()
         case None:
@@ -99,11 +103,11 @@ class Compressor:
         size = {"log_threshold": 1, "log_ratio": 1}
         if self.knee != "hard":
             size["log_knee"] = 1
-        if self.energy_smoother == "iir":
+        if self.energy_smoother in ("iir", "iir_exact"):
             size["z_alpha_pre"] = 1
         elif self.energy_smoother == "ballistics":
             size["z_alpha_pre"] = 2
-        if self.gain_smoother == "iir":
+        if self.gain_smoother in ("iir", "iir_exact"):
             size["z_alpha_post"] = 1
         elif self.gain_smoother == "ballistics":
             size["z_alpha_post"] = 2

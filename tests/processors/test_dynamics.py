@@ -106,3 +106,26 @@ def test_factorized_compressor_compresses():
     out = comp(loud, **params)
     assert float(jnp.abs(out[..., L // 2 :]).max()) < 10.0
     assert jnp.isfinite(out).all()
+
+
+def test_compressor_iir_exact_smoother():
+    """'iir_exact' energy smoothing: exact blocked one-pole instead of
+    the truncated-FIR approximation; near-identical output (the FIR only
+    truncates the tail)."""
+    from grafx_tpu.processors import Compressor
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 2, 2**12))
+    params = dict(
+        log_threshold=jnp.full((2, 1), -1.0),
+        log_ratio=jnp.full((2, 1), 1.0),
+        log_knee=jnp.zeros((2, 1)),
+        z_alpha_pre=jnp.zeros((2, 1)),
+    )
+    y_fir = Compressor(energy_smoother="iir", iir_len=16384)(x, **params)
+    y_exact = Compressor(energy_smoother="iir_exact")(x, **params)
+    r = float(jnp.abs(y_fir - y_exact).max() / jnp.abs(y_fir).max())
+    assert r < 1e-4, r
+    _test_single_processor(
+        Compressor(energy_smoother="iir_exact"), audio_len=2**12
+    )
