@@ -101,7 +101,7 @@ def main():
         "eq": ParametricEqualizer(num_filters=6, backend="exact"),
         "geq": GraphicEqualizer(scale="bark", backend="exact"),
         "compressor": Compressor(energy_smoother="ballistics"),
-        "noisegate": NoiseGate(energy_smoother="iir", iir_len=16384),
+        "noisegate": NoiseGate(energy_smoother="iir_exact"),
         "gain": StereoGain(),
         "dist": TanhDistortion(),
         "reverb": STFTMaskedNoiseReverb(ir_len=30000),
