@@ -25,7 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-TILE = 8
+TILE = 32
 
 
 def _kernel(zi_ref, at_ref, rt_ref, u_ref, y_ref, state, *, chunk):
