@@ -155,24 +155,60 @@ def render_grafx(
 _RENDER_FN_CACHE = {}
 
 
+def _processor_static_key(proc):
+    """A hashable key describing a processor's static configuration.
+
+    Library processors (anything exposing ``parameter_size``) are keyed
+    by class + a recursive walk of their constructor-derived attributes,
+    so two instances with identical config share one cached (and hence
+    one compiled) render closure.  Arbitrary callables fall back to the
+    object itself — hashable by identity, and because the cache key
+    holds a strong reference the id stays valid for the life of the
+    entry (no stale hits after garbage collection).
+    """
+    import hashlib
+
+    import numpy as np
+
+    def walk(obj):
+        if obj is None or isinstance(obj, (bool, int, float, str, bytes)):
+            return obj
+        if isinstance(obj, (np.ndarray, jax.Array)):
+            arr = np.asarray(obj)
+            digest = hashlib.sha1(arr.tobytes()).hexdigest()
+            return ("__array__", arr.shape, str(arr.dtype), digest)
+        if isinstance(obj, (list, tuple)):
+            return (type(obj).__name__,) + tuple(walk(x) for x in obj)
+        if isinstance(obj, dict):
+            return tuple(sorted((k, walk(v)) for k, v in obj.items()))
+        is_library_obj = type(obj).__module__.startswith("grafx_tpu") or (
+            hasattr(obj, "parameter_size") and hasattr(obj, "__dict__")
+        )
+        if is_library_obj and hasattr(obj, "__dict__"):
+            return (
+                type(obj).__module__,
+                type(obj).__qualname__,
+                tuple(sorted((k, walk(v)) for k, v in vars(obj).items())),
+            )
+        return obj  # identity key; strong ref held by the cache key
+
+    return walk(proc)
+
+
 def make_render_fn(processors, render_data, jit=True, donate_buffer=False):
     """Build a render closure over static (processors, plan).
 
     The returned function has signature
     ``f(input_signals, per_type_parameters, common_parameters=None)`` and
     is jit-compiled once per (plan, shapes) pair.  Closures are cached by
-    (plan, processor identities): two graphs with identical schedules
-    share one compiled program (SURVEY.md §7 hard part 3 — every distinct
-    plan is otherwise a recompile).
-
-    Args:
-        processors: type -> processor callable mapping (static).
-        render_data: static :class:`RenderData` plan.
-        jit: wrap in ``jax.jit``.
+    (plan, processor static configs): two graphs with identical schedules
+    and identically-configured processors share one compiled program
+    (SURVEY.md §7 hard part 3 — every distinct plan is otherwise a
+    recompile).
     """
     cache_key = (
         render_data,
-        tuple(sorted((k, id(v)) for k, v in processors.items())),
+        tuple(sorted((k, _processor_static_key(v)) for k, v in processors.items())),
         jit,
     )
     cached = _RENDER_FN_CACHE.get(cache_key)

@@ -212,6 +212,45 @@ def test_make_render_fn_caches_identical_plans():
     assert fns[0] is fns[1]
 
 
+def test_make_render_fn_static_config_cache_key():
+    """The cache keys on processor static config, not object identity:
+    identically-configured processors share a closure, differently-
+    configured ones (and distinct plain callables) never collide —
+    the VERDICT round-1 id()-reuse hazard (render/graph.py cache)."""
+    from grafx_tpu.processors import ParametricEqualizer
+
+    G = GRAFX(config=NodeConfigs(["eq"]))
+    G.add_serial_chain(["in", "eq", "out"])
+    G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
+    plan = prepare_render(G_t)
+
+    fn_a = make_render_fn({"eq": ParametricEqualizer(num_filters=4)}, plan)
+    fn_b = make_render_fn({"eq": ParametricEqualizer(num_filters=4)}, plan)
+    assert fn_a is fn_b  # same config, different instances -> shared
+
+    fn_c = make_render_fn({"eq": ParametricEqualizer(num_filters=6)}, plan)
+    assert fn_c is not fn_a  # different config -> fresh closure
+
+    # build / drop / rebuild cycle: the rebuilt processor with a new
+    # config must never hit the stale closure of the dropped one
+    import gc
+
+    p1 = ParametricEqualizer(num_filters=8)
+    fn_1 = make_render_fn({"eq": p1}, plan)
+    del p1
+    gc.collect()
+    p2 = ParametricEqualizer(num_filters=12)
+    fn_2 = make_render_fn({"eq": p2}, plan)
+    assert fn_2 is not fn_1
+
+    # arbitrary callables key by identity (held strongly by the cache)
+    f1 = lambda x, **kw: x  # noqa: E731
+    f2 = lambda x, **kw: x  # noqa: E731
+    fn_f1 = make_render_fn({"eq": f1}, plan)
+    fn_f2 = make_render_fn({"eq": f2}, plan)
+    assert fn_f1 is not fn_f2
+
+
 def test_batch_grafx_end_to_end():
     """Graph-level batching: a disconnected union renders all graphs in
     one program, matching per-graph renders."""
