@@ -131,82 +131,202 @@ def biquad_scan(x, Bs, As):
 # ---------------------------------------------------------------------------
 
 
-def _companion_powers(a1, a2, T):
-    """Top rows ``(p[n], q[n]) = (A^n)[0, :]`` of the companion-matrix
-    powers for ``A = [[-a1, -a2], [1, 0]]``, for ``n = 0..T``.
+def _compensated_disc(a1, a2):
+    """``a1**2 - 4*a2`` with the squaring's rounding error compensated
+    (Dekker split product).  The raw float32 expression loses all
+    significance when ``a1**2`` is close to ``4*a2`` — exactly the
+    near-double-root / small-pole-angle regime real EQ filters live in
+    (shelving biquads at low ``w0`` have pole angles ~1e-3)."""
+    splitter = 134217729.0 if a1.dtype == jnp.float64 else 4097.0
+    c = a1 * splitter
+    hi = c - (c - a1)
+    lo = a1 - hi
+    p = a1 * a1
+    err = ((hi * hi - p) + 2.0 * hi * lo) + lo * lo  # exact a1*a1 - p
+    return (p - 4.0 * a2) + err
 
-    Computed in closed form from the eigenvalues ``l1, l2`` of ``A``
-    (the diagonalized state-space view, matching the case analysis of the
-    reference's "ssm" backend, core/iir.py:285-338):
 
-        S[n] = (l1^n - l2^n) / (l1 - l2),   p[n] = S[n+1],
-        q[n] = -a2 * S[n],
+def _stage_eigen_kernels(bk, ak, T):
+    """Blocked state-space kernels for one biquad, expressed in the pole
+    pair's eigenbasis.
 
-    with the double-root limit ``S[n] = n * l^(n-1)`` when the
-    discriminant vanishes.  The closed form is numerically stable for
-    poles arbitrarily close to the unit circle, where product-form
-    recurrences blow up in float32.
+    Direct-form II state space: ``s[n+1] = A s[n] + B u[n]``,
+    ``y[n] = C s[n] + b0 u[n]`` with ``A = [[-a1, -a2], [1, 0]]``,
+    ``B = e0``, ``C = [b1 - b0 a1, b2 - b0 a2]`` (reference derivation:
+    core/iir.py:63-78; the blocked evaluation is original to this
+    rebuild).  The block recursion is run in transformed coordinates
+    ``t = P^-1 s`` (suitably rescaled) in which the per-block transition
+    ``M`` is:
+
+    * complex pole pair: a scaled rotation ``r^T R(T 8)`` — *normal*;
+    * separated real poles: ``diag(l1^T, l2^T)`` — normal;
+    * near-double real poles: the Jordan block power
+      ``[[m^T, T m^(T-1)], [0, m^T]]`` (upper-triangular with equal
+      diagonal; products accumulate the off-diagonal additively with no
+      cancellation).
+
+    This choice is the load-bearing numerics decision: in raw companion
+    coordinates the cross-block associative scan multiplies non-normal
+    matrices whose transient growth (~``min(n, 1/sin 8)``) amplifies
+    float32 roundoff catastrophically for poles near the unit circle
+    (measured -26 dB at r = 0.9999, pole angle 0.018 from pi); in the
+    eigenbasis every branch's scan is contraction/normal (or
+    cancellation-free triangular) and the same configuration lands below
+    -90 dB.  Pole-type dispatch is per lane via ``jnp.where`` over a
+    *compensated* discriminant, mirroring the case analysis of the
+    reference's "ssm" backend (core/iir.py:285-338).  Gates: the
+    near-unit-circle suite in tests/ops/test_iir.py.
 
     Args:
-        a1, a2: ``(N,)`` normalized feedback coefficients.
+        bk, ak: ``(N, 3)`` normalized biquad coefficients.
+        T: block length.
 
     Returns:
-        p, q of shape ``(N, T + 1)``, real, same dtype as ``a1``.
+        ``(h, K_out, K_in, M)``: ``h (N, T)`` truncated impulse
+        response; ``K_out (N, 2, T)`` initial-state response kernels
+        (``y_is[n] = sum_s K_out[s, n] t[s]``); ``K_in (N, 2, T)``
+        state-injection kernels (``t_in[s] = sum_i K_in[s, i] u[i]``);
+        ``M (N, 2, 2)`` block transition (``t' = M t + t_in``).
     """
-    dtype = a1.dtype
-    is64 = dtype == jnp.float64
-    cdtype = jnp.complex128 if is64 else jnp.complex64
-    tol = 1e-12 if is64 else 1e-6
+    N = ak.shape[0]
+    dtype = ak.dtype
+    tiny = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
 
-    a1c = a1.astype(cdtype)
-    a2c = a2.astype(cdtype)
-    d = a1c * a1c - 4.0 * a2c
-    scale = jnp.abs(a1c) ** 2 + 4.0 * jnp.abs(a2c) + 1e-20
-    double_root = jnp.abs(d) <= tol * scale
+    b0, b1, b2 = bk[:, 0], bk[:, 1], bk[:, 2]
+    a1, a2 = ak[:, 1], ak[:, 2]
+    c0, c1 = b1 - b0 * a1, b2 - b0 * a2  # C vector
 
-    # sqrt of the (guarded) discriminant; guarding keeps the unselected
-    # branch's gradient finite under jnp.where
-    d_safe = jnp.where(double_root, 1.0, d)
-    sq = jnp.sqrt(d_safe)
-    l1 = (-a1c + sq) / 2.0
-    l2 = (-a1c - sq) / 2.0
+    disc = _compensated_disc(a1, a2)
+    mu = -0.5 * a1
+    # guarded branch ingredients (guards keep the *unselected* branches
+    # NaN-free so jnp.where gradients stay finite)
+    dim = 0.5 * jnp.sqrt(jnp.maximum(-disc, tiny))  # Im(l), complex case
+    delta = 0.5 * jnp.sqrt(jnp.maximum(disc, tiny))  # (l1 - l2)/2, real
+    is_complex = disc < 0
+    # Jordan handles only (near-)exactly double real roots, where
+    # l1 - l2 underflows the coefficient ulp and the diagonal basis
+    # degenerates (l1 == l2 after rounding makes the modal difference
+    # identically zero).  Anywhere above ~10 ulp the diagonal branch is
+    # measurably more accurate, because treating split poles as a double
+    # root perturbs the pole radius by delta — catastrophic when delta
+    # is comparable to the distance 1 - r to the unit circle (measured
+    # -28 dB at r = 0.999 with a sqrt(eps) threshold).
+    jtol = 1e-14 if dtype == jnp.float64 else 1e-6
+    is_jordan = (~is_complex) & (delta <= jtol * jnp.abs(mu))
 
-    n = jnp.arange(T + 2)
+    # cumulative powers n = 1..T in one batched norm-preserving scan;
+    # rows = [l_c = mu + i dim | l1 = mu + delta | l2 = mu - delta]
+    l1 = mu + delta
+    l2 = mu - delta
+    re0 = jnp.concatenate([mu, l1, l2])
+    im0 = jnp.concatenate([dim, jnp.zeros_like(l1), jnp.zeros_like(l2)])
+    re = jnp.broadcast_to(re0[:, None], (3 * N, T))
+    im = jnp.broadcast_to(im0[:, None], (3 * N, T))
 
-    # complex powers in explicit polar-real form: XLA's generic complex
-    # pow lowers to a slow path on TPU (measured ~7 ms for (432, 1026));
-    # exp/cos/sin on reals is ~100x faster
-    def safe_pow(lam):
-        mag = jnp.maximum(jnp.abs(lam), 1e-20)
-        ang = jnp.arctan2(lam.imag, lam.real)
-        logmag = jnp.log(mag)
-        nl = n[None, :] * logmag[:, None]
-        na = n[None, :] * ang[:, None]
-        r = jnp.exp(nl)
-        return jax.lax.complex(r * jnp.cos(na), r * jnp.sin(na))
+    def combine(x, y):
+        xr, xi = x
+        yr, yi = y
+        return (xr * yr - xi * yi, xr * yi + xi * yr)
 
-    S = (safe_pow(l1) - safe_pow(l2)) / sq[:, None]  # (N, T+2)
+    Pr, Pi = jax.lax.associative_scan(combine, (re, im), axis=1)
+    one = jnp.ones((N, 1), dtype)
+    zero = jnp.zeros((N, 1), dtype)
+    xs = jnp.concatenate([one, Pr[:N]], axis=1)  # Re l_c^n, n = 0..T
+    ys = jnp.concatenate([zero, Pi[:N]], axis=1)  # Im l_c^n
+    u = jnp.concatenate([one, Pr[N : 2 * N]], axis=1)  # l1^n
+    v = jnp.concatenate([one, Pr[2 * N :]], axis=1)  # l2^n
 
-    lmid = -a1c / 2.0
-    lmid = jnp.where(jnp.abs(lmid) < 1e-20, 1e-20 + 0.0j, lmid)
-    # S_double[n] = n * lmid^(n-1) = n * lmid^n / lmid (safe: |lmid|>=1e-20)
-    S_double = n * safe_pow(lmid) / lmid[:, None]
+    # --- complex pair: basis P = [[mu, dim], [1, 0]] scaled by dim;
+    # M^n = r^n R(n 8) with entries (xs, ys); B~ = (0, 1);
+    # C~ = ((c0 mu + c1)/dim, c0)
+    dim_s = jnp.maximum(dim, tiny)
+    C1c = ((c0 * mu + c1) / dim_s)[:, None]
+    C2c = c0[:, None]
+    Koc0 = C1c * xs[:, :T] - C2c * ys[:, :T]
+    Koc1 = C1c * ys[:, :T] + C2c * xs[:, :T]
+    Kic0 = ys[:, :T][:, ::-1]
+    Kic1 = xs[:, :T][:, ::-1]
+    Mc = jnp.stack(
+        [
+            jnp.stack([xs[:, T], ys[:, T]], -1),
+            jnp.stack([-ys[:, T], xs[:, T]], -1),
+        ],
+        axis=-2,
+    )
+    hc = jnp.concatenate([b0[:, None], Koc1[:, : T - 1]], axis=-1)
 
-    S = jnp.where(double_root[:, None], S_double, S)
+    # --- separated real poles: diagonal basis scaled by (l1 - l2);
+    # B~ = (1, -1); C~ = ((c0 l1 + c1)/(l1-l2), (c0 l2 + c1)/(l1-l2))
+    sq_s = jnp.maximum(2.0 * delta, tiny)
+    C1r = ((c0 * l1 + c1) / sq_s)[:, None]
+    C2r = ((c0 * l2 + c1) / sq_s)[:, None]
+    Kor0 = C1r * u[:, :T]
+    Kor1 = C2r * v[:, :T]
+    Kir0 = u[:, :T][:, ::-1]
+    Kir1 = -v[:, :T][:, ::-1]
+    zcol = jnp.zeros_like(u[:, T])
+    Mr = jnp.stack(
+        [
+            jnp.stack([u[:, T], zcol], -1),
+            jnp.stack([zcol, v[:, T]], -1),
+        ],
+        axis=-2,
+    )
+    hr = jnp.concatenate(
+        [b0[:, None], (Kor0 - Kor1)[:, : T - 1]], axis=-1
+    )
 
-    p = S[:, 1:].real.astype(dtype)  # p[n] = S[n+1], n = 0..T
-    q = (-a2c[:, None] * S[:, : T + 1]).real.astype(dtype)
-    return p, q
+    # --- near-double real poles: Jordan basis P = [[m, 1], [1, 0]]
+    # (det -1, no rescale needed); m^n from the l_c row (dim ~ 0 there);
+    # B' = (0, 1); C' = (c0 m + c1, c0)
+    m_pow = xs  # m^n, n = 0..T
+    m_prev = jnp.concatenate([zero, xs[:, :T]], axis=1)  # m^(n-1)
+    narr = jnp.arange(T + 1, dtype=dtype)[None, :]
+    nm = narr * m_prev  # n m^(n-1); n = 0 entry is 0
+    C1j = (c0 * mu + c1)[:, None]
+    C2j = c0[:, None]
+    Koj0 = C1j * m_pow[:, :T]
+    Koj1 = C1j * nm[:, :T] + C2j * m_pow[:, :T]
+    Kij0 = nm[:, :T][:, ::-1]
+    Kij1 = m_pow[:, :T][:, ::-1]
+    Mj = jnp.stack(
+        [
+            jnp.stack([m_pow[:, T], nm[:, T]], -1),
+            jnp.stack([zcol, m_pow[:, T]], -1),
+        ],
+        axis=-2,
+    )
+    hj = jnp.concatenate([b0[:, None], Koj1[:, : T - 1]], axis=-1)
+
+    def sel(shape_suffix, c, j, r_):
+        cx = is_complex.reshape((N,) + (1,) * len(shape_suffix))
+        jd = is_jordan.reshape((N,) + (1,) * len(shape_suffix))
+        return jnp.where(cx, c, jnp.where(jd, j, r_))
+
+    h = sel((T,), hc, hj, hr)
+    K_out = sel(
+        (2, T),
+        jnp.stack([Koc0, Koc1], axis=1),
+        jnp.stack([Koj0, Koj1], axis=1),
+        jnp.stack([Kor0, Kor1], axis=1),
+    )
+    K_in = sel(
+        (2, T),
+        jnp.stack([Kic0, Kic1], axis=1),
+        jnp.stack([Kij0, Kij1], axis=1),
+        jnp.stack([Kir0, Kir1], axis=1),
+    )
+    M = sel((2, 2), Mc, Mj, Mr)
+    return h, K_out, K_in, M
 
 
 def _biquad_block_stage(x, bk, ak, T):
     """One exact biquad applied to ``x`` with block size ``T``.
 
-    Direct-form II state space: with state ``s[n]`` (2-vector),
-    ``s[n+1] = A s[n] + B u[n]``, ``y[n] = C s[n] + b0 u[n]`` where
-    ``A = [[-a1, -a2], [1, 0]]``, ``B = e0``, ``C = [b1 - b0 a1,
-    b2 - b0 a2]`` (reference derivation: core/iir.py:63-78; the
-    blocked evaluation itself is original to this rebuild).
+    Zero-state response inside each block is a causal FFT convolution
+    with the (exactly computed) truncated impulse response; cross-block
+    state is carried in the pole pair's eigenbasis (see
+    :func:`_stage_eigen_kernels` for why that basis is load-bearing).
 
     Args:
         x: ``(N, L)``; bk ``(N, 3)`` normalized; ak ``(N, 3)`` normalized.
@@ -217,44 +337,26 @@ def _biquad_block_stage(x, bk, ak, T):
     xp = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
     xb = xp.reshape(N, num_blocks, T)
 
-    b0, b1, b2 = bk[:, 0], bk[:, 1], bk[:, 2]
-    a1, a2 = ak[:, 1], ak[:, 2]
-    c0, c1 = b1 - b0 * a1, b2 - b0 * a2  # C vector
-
-    p, q = _companion_powers(a1, a2, T)  # (N, T+1) each
-    p_prev = jnp.concatenate([jnp.zeros_like(p[:, :1]), p[:, :-1]], axis=1)
-    q_prev = jnp.concatenate([jnp.ones_like(q[:, :1]), q[:, :-1]], axis=1)
-
-    # A^n B = (p[n], p[n-1]);  C A^n = (c0 p[n] + c1 p[n-1],
-    #                                   c0 q[n] + c1 q[n-1]).
-    CA0 = c0[:, None] * p[:, :T] + c1[:, None] * p_prev[:, :T]  # (N, T)
-    CA1 = c0[:, None] * q[:, :T] + c1[:, None] * q_prev[:, :T]  # (N, T)
-
-    # Truncated impulse response h[0] = b0, h[n] = C A^(n-1) B = CA0[n-1].
-    h = jnp.concatenate([b0[:, None], CA0[:, : T - 1]], axis=-1)  # (N, T)
+    h, K_out, K_in, M = _stage_eigen_kernels(bk, ak, T)
 
     # Zero-state response inside each block: causal FFT conv, exact since
     # the filter history within a block never exceeds T samples.
     y_zs = fft_convolve(xb, h[:, None, :], mode="causal", pad_mode="pow2")
 
-    # State injected by each block: s_in[k] = sum_i A^(T-1-i) B u[k, i];
-    # component-wise correlations with the reversed power sequences (MXU).
-    F0 = p[:, :T][:, ::-1]  # p[T-1-i]
-    F1 = p_prev[:, :T][:, ::-1]  # p[T-2-i]
-    s_in0 = jnp.einsum("nbt,nt->nb", xb, F0)  # (N, NB)
-    s_in1 = jnp.einsum("nbt,nt->nb", xb, F1)
+    # State injected by each block (MXU): t_in[k] = sum_i K_in[:, i] u[k, i]
+    s_in = jnp.einsum("nbt,nst->nbs", xb, K_in)  # (N, NB, 2)
 
-    # Propagate states across blocks: s_{k+1} = A^T s_k + s_in[k], s_0 = 0,
-    # with A^T = [[p[T], q[T]], [p[T-1], q[T-1]]]; scalar-component affine
-    # associative scan over the (tiny) block axis.
+    # Propagate states across blocks: t_{k+1} = M t_k + t_in[k], t_0 = 0;
+    # scalar-component affine associative scan over the block axis (M is
+    # normal/triangular in the eigenbasis, so the scan is well-conditioned)
     def bc(v):
         return jnp.broadcast_to(v[:, None], (N, num_blocks))
 
-    m11, m12 = bc(p[:, T]), bc(q[:, T])
-    m21, m22 = bc(p[:, T - 1]), bc(q[:, T - 1])
+    m11, m12 = bc(M[:, 0, 0]), bc(M[:, 0, 1])
+    m21, m22 = bc(M[:, 1, 0]), bc(M[:, 1, 1])
 
     def combine(first, second):
-        # second ∘ first for affine maps s -> M s + v
+        # second o first for affine maps t -> M t + v
         f11, f12, f21, f22, fv1, fv2 = first
         s11, s12, s21, s22, sv1, sv2 = second
         return (
@@ -267,17 +369,19 @@ def _biquad_block_stage(x, bk, ak, T):
         )
 
     scanned = jax.lax.associative_scan(
-        combine, (m11, m12, m21, m22, s_in0, s_in1), axis=1
+        combine, (m11, m12, m21, m22, s_in[..., 0], s_in[..., 1]), axis=1
     )
-    s_after0, s_after1 = scanned[4], scanned[5]
-    zeros = jnp.zeros_like(s_after0[:, :1])
-    s_enter0 = jnp.concatenate([zeros, s_after0[:, :-1]], axis=1)  # (N, NB)
-    s_enter1 = jnp.concatenate([zeros, s_after1[:, :-1]], axis=1)
+    zeros = jnp.zeros_like(scanned[4][:, :1])
+    s_enter = jnp.stack(
+        [
+            jnp.concatenate([zeros, scanned[4][:, :-1]], axis=1),
+            jnp.concatenate([zeros, scanned[5][:, :-1]], axis=1),
+        ],
+        axis=-1,
+    )  # (N, NB, 2)
 
-    # Initial-state response inside each block: y_is[k, n] = (C A^n) s_k.
-    y_is = CA0[:, None, :] * s_enter0[:, :, None] + CA1[:, None, :] * s_enter1[
-        :, :, None
-    ]
+    # Initial-state response inside each block (MXU)
+    y_is = jnp.einsum("nbs,nst->nbt", s_enter, K_out)
 
     y = (y_zs + y_is).reshape(N, num_blocks * T)
     return y[:, :L]
@@ -324,8 +428,9 @@ def biquad_exact(x, Bs, As, block_size: int = 128):
 #   (2) one MXU matmul for per-block state injection,
 #   (3) a tiny associative scan of 2K x 2K affine maps across blocks,
 #   (4) one MXU matmul for the initial-state responses.
-# All parameter-dependent kernels (W, V, A_blk) are built by a lax.scan
-# over the K stages on length-T signals — independent of L.
+# All parameter-dependent kernels (W, V, A_blk) are built by log-depth
+# pairwise composition of per-stage eigenbasis kernels on length-T
+# signals — independent of L.
 
 
 def _tconv(x, h, T):
@@ -334,87 +439,6 @@ def _tconv(x, h, T):
     n = 2 * T
     y = jnp.fft.irfft(jnp.fft.rfft(x, n=n) * jnp.fft.rfft(h, n=n), n=n)
     return y[..., :T]
-
-
-def _cascade_kernels(b, a, T):
-    """Blocked-cascade operator kernels.
-
-    Args:
-        b, a: ``(N, K, 3)`` normalized coefficients.
-
-    Returns:
-        ``(H_cas, W, V, A_blk)``:
-        H_cas ``(N, T)`` cascade IR (truncated);
-        W ``(N, S, T)`` with ``s_in[s] = sum_t xb[t] W[s, t]``;
-        V ``(N, S, T)`` with ``y_is[t] = sum_s s[s] V[s, t]``;
-        A_blk ``(N, S, S)`` end-of-block state from start-of-block state;
-        where ``S = 2K``.
-    """
-    N, K, _ = b.shape
-    S = 2 * K
-
-    a1f, a2f = a[..., 1].reshape(-1), a[..., 2].reshape(-1)
-    p, q = _companion_powers(a1f, a2f, T)  # (N*K, T+1)
-    p = p.reshape(N, K, T + 1)
-    q = q.reshape(N, K, T + 1)
-    p_prev = jnp.concatenate([jnp.zeros_like(p[..., :1]), p[..., :-1]], -1)
-    q_prev = jnp.concatenate([jnp.ones_like(q[..., :1]), q[..., :-1]], -1)
-
-    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
-    a1, a2 = a[..., 1], a[..., 2]
-    c0, c1 = b1 - b0 * a1, b2 - b0 * a2
-
-    # per-stage kernels, stage axis leading for the scan
-    CA0 = c0[..., None] * p[..., :T] + c1[..., None] * p_prev[..., :T]
-    CA1 = c0[..., None] * q[..., :T] + c1[..., None] * q_prev[..., :T]
-    CA = jnp.stack([CA0, CA1], axis=-2)  # (N, K, 2, T)
-    # own-state output must include the feedthrough b0 * (C s) ... no:
-    # y[n] = C A^n s exactly (feedthrough applies to inputs, which are
-    # zero for the ISR), so CA is complete.
-    h = jnp.concatenate([b0[..., None], CA0[..., : T - 1]], axis=-1)  # (N,K,T)
-    phi = jnp.stack([p[..., :T], p_prev[..., :T]], axis=-2)  # (N, K, 2, T)
-    phi_rev = phi[..., ::-1]
-    AT = jnp.stack(
-        [
-            jnp.stack([p[..., T], q[..., T]], -1),
-            jnp.stack([p[..., T - 1], q[..., T - 1]], -1),
-        ],
-        axis=-2,
-    )  # (N, K, 2, 2)
-
-    # scan over stages, building the cascade operator
-    H0 = jnp.zeros((N, T), b.dtype).at[:, 0].set(1.0)  # delta
-    V0 = jnp.zeros((N, S, T), b.dtype)
-    W0 = jnp.zeros((N, S, T), b.dtype)
-    A0 = jnp.zeros((N, S, S), b.dtype)
-
-    def stage(carry, xs):
-        H_pre, V, W, A = carry
-        j, h_j, phi_j, phi_rev_j, CA_j, AT_j = xs
-        # injection kernels for stage j: reverse(tconv(H_pre, phi))
-        wj = _tconv(H_pre[:, None, :], phi_j, T)[..., ::-1]  # (N, 2, T)
-        W = jax.lax.dynamic_update_slice(W, wj, (0, 2 * j, 0))
-        # A rows: old states' signals (V) correlated into stage j's state
-        a_rows = jnp.einsum("nrt,nmt->nmr", V, phi_rev_j)  # (N, 2, S)
-        A = jax.lax.dynamic_update_slice(A, a_rows, (0, 2 * j, 0))
-        # own-state 2x2 block on the diagonal
-        A = jax.lax.dynamic_update_slice(A, AT_j, (0, 2 * j, 2 * j))
-        # propagate old ISR signals through stage j; add own kernels
-        V = _tconv(V, h_j[:, None, :], T)
-        V = jax.lax.dynamic_update_slice(V, CA_j, (0, 2 * j, 0))
-        H_pre = _tconv(H_pre, h_j, T)
-        return (H_pre, V, W, A), None
-
-    xs = (
-        jnp.arange(K),
-        jnp.moveaxis(h, 1, 0),
-        jnp.moveaxis(phi, 1, 0),
-        jnp.moveaxis(phi_rev, 1, 0),
-        jnp.moveaxis(CA, 1, 0),
-        jnp.moveaxis(AT, 1, 0),
-    )
-    (H_cas, V, W, A_blk), _ = jax.lax.scan(stage, (H0, V0, W0, A0), xs)
-    return H_cas, W, V, A_blk
 
 
 def _cascade_kernels_doubling(b, a, T):
@@ -440,30 +464,15 @@ def _cascade_kernels_doubling(b, a, T):
     N, K, _ = b.shape
     K_pad = 1 << max((K - 1).bit_length(), 0)
 
-    # per-stage primitive kernels (same math as _cascade_kernels)
-    a1f, a2f = a[..., 1].reshape(-1), a[..., 2].reshape(-1)
-    p, q = _companion_powers(a1f, a2f, T)
-    p = p.reshape(N, K, T + 1)
-    q = q.reshape(N, K, T + 1)
-    p_prev = jnp.concatenate([jnp.zeros_like(p[..., :1]), p[..., :-1]], -1)
-    q_prev = jnp.concatenate([jnp.ones_like(q[..., :1]), q[..., :-1]], -1)
-
-    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
-    a1, a2 = a[..., 1], a[..., 2]
-    c0, c1 = b1 - b0 * a1, b2 - b0 * a2
-
-    CA0 = c0[..., None] * p[..., :T] + c1[..., None] * p_prev[..., :T]
-    CA1 = c0[..., None] * q[..., :T] + c1[..., None] * q_prev[..., :T]
-    CA = jnp.stack([CA0, CA1], axis=-2)  # (N, K, 2, T)
-    h = jnp.concatenate([b0[..., None], CA0[..., : T - 1]], axis=-1)
-    phi = jnp.stack([p[..., :T], p_prev[..., :T]], axis=-2)  # (N, K, 2, T)
-    AT = jnp.stack(
-        [
-            jnp.stack([p[..., T], q[..., T]], -1),
-            jnp.stack([p[..., T - 1], q[..., T - 1]], -1),
-        ],
-        axis=-2,
-    )  # (N, K, 2, 2)
+    # per-stage primitive kernels in each pole pair's eigenbasis
+    # (the numerics rationale lives in _stage_eigen_kernels)
+    h_f, K_out_f, K_in_f, M_f = _stage_eigen_kernels(
+        b.reshape(N * K, 3), a.reshape(N * K, 3), T
+    )
+    h = h_f.reshape(N, K, T)
+    CA = K_out_f.reshape(N, K, 2, T)  # per-state ISR signals
+    W_stage = K_in_f.reshape(N, K, 2, T)  # per-state injection kernels
+    AT = M_f.reshape(N, K, 2, 2)  # per-stage block transition
 
     # pad stages to K_pad with identity stages: h = delta, all state
     # kernels zero (the extra states never charge or discharge)
@@ -472,15 +481,16 @@ def _cascade_kernels_doubling(b, a, T):
         delta = jnp.zeros((N, pad_n, T), h.dtype).at[..., 0].set(1.0)
         h = jnp.concatenate([h, delta], axis=1)
         CA = jnp.concatenate([CA, jnp.zeros((N, pad_n, 2, T), h.dtype)], 1)
-        phi = jnp.concatenate([phi, jnp.zeros((N, pad_n, 2, T), h.dtype)], 1)
+        W_stage = jnp.concatenate(
+            [W_stage, jnp.zeros((N, pad_n, 2, T), h.dtype)], 1
+        )
         AT = jnp.concatenate([AT, jnp.zeros((N, pad_n, 2, 2), h.dtype)], 1)
 
     # initial groups: one stage each. Group tensors (N, G, R, T) etc.
     G = K_pad
     H = h[:, :, None, :][..., 0, :]  # (N, G, T)
     V = CA  # (N, G, 2, T)
-    # single-stage injection kernels: W = reverse(phi)
-    W = phi[..., ::-1]  # (N, G, 2, T)
+    W = W_stage  # (N, G, 2, T); K_in is already the reversed power seq
     A = AT  # (N, G, 2, 2)
 
     n2 = 2 * T
