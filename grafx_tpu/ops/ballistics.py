@@ -79,11 +79,33 @@ def ballistics_core(u, zi, at, rt):
 
 
 def _ballistics_fwd(u, zi, at, rt):
-    y = _forward(u, zi, at, rt)
+    if _use_pallas():
+        # Run and save residuals in the padded time-major kernel layout:
+        # the backward kernel consumes the same layout, so the whole VJP
+        # needs only one transpose in (u, g each) and one out (y, du)
+        # instead of re-padding/transposing around every kernel call.
+        from grafx_tpu.ops.ballistics_tpu import (
+            LANES,
+            expand_lanes,
+            forward_pallas_tm,
+            pad_time_major,
+        )
+
+        N, L = u.shape
+        S = -(-N // LANES)
+        ut = pad_time_major(u)
+        yt = forward_pallas_tm(
+            ut, expand_lanes(zi, S), expand_lanes(at, S), expand_lanes(rt, S)
+        )
+        y = yt[:L, :N].T
+        return y, (ut, yt, zi, at, rt)
+    y = _forward_scan(u, zi, at, rt)
     return y, (u, y, zi, at, rt)
 
 
 def _ballistics_bwd(res, g):
+    if _use_pallas():
+        return _ballistics_bwd_pallas(res, g)
     u, y, zi, at, rt = res
     y_prev = jnp.concatenate([zi[:, None], y[:, :-1]], axis=1)
     attack = u > y_prev
@@ -92,24 +114,57 @@ def _ballistics_bwd(res, g):
     # Adjoint recursion (reverse time):  gh[n] = g[n] + (1 - c[n+1]) gh[n+1].
     a = jnp.concatenate([1.0 - c[:, 1:], jnp.zeros_like(c[:, :1])], axis=1)
 
-    if _use_pallas():
-        from grafx_tpu.ops.ballistics_tpu import reverse_scan_pallas
+    def combine(inner, outer):
+        a_i, b_i = inner
+        a_o, b_o = outer
+        return a_o * a_i, a_o * b_i + b_o
 
-        gh = reverse_scan_pallas(a, g)
-    else:
-
-        def combine(inner, outer):
-            a_i, b_i = inner
-            a_o, b_o = outer
-            return a_o * a_i, a_o * b_i + b_o
-
-        _, gh = jax.lax.associative_scan(combine, (a, g), axis=1, reverse=True)
+    _, gh = jax.lax.associative_scan(combine, (a, g), axis=1, reverse=True)
 
     du = c * gh
     dc = (u - y_prev) * gh
     dat = jnp.sum(jnp.where(attack, dc, 0.0), axis=1)
     drt = jnp.sum(jnp.where(attack, 0.0, dc), axis=1)
     dzi = (1.0 - c[:, 0]) * gh[:, 0]
+    return du, dzi, dat, drt
+
+
+def _ballistics_bwd_pallas(res, g):
+    """Backward pass entirely in the padded time-major layout."""
+    from grafx_tpu.ops.ballistics_tpu import (
+        LANES,
+        expand_lanes,
+        pad_time_major,
+        reverse_scan_pallas_tm,
+    )
+
+    ut, yt, zi, at, rt = res
+    N, L = g.shape
+    Lp, Np = ut.shape
+    S = Np // LANES
+    gt = pad_time_major(g)
+
+    zi_row = expand_lanes(zi, S).reshape(1, Np)
+    at_row = expand_lanes(at, S).reshape(1, Np)
+    rt_row = expand_lanes(rt, S).reshape(1, Np)
+
+    ypt = jnp.concatenate([zi_row, yt[:-1]], axis=0)  # y[n-1], time-major
+    attack = ut > ypt
+    ct = jnp.where(attack, at_row, rt_row)  # (Lp, Np)
+
+    # a[n] = 1 - c[n+1] for n < L-1, else 0 (pad rows must be zero so the
+    # reverse walk enters the real tail with state exactly 0)
+    ct_next = jnp.concatenate([ct[1:], jnp.zeros_like(ct[:1])], axis=0)
+    valid = (jnp.arange(Lp) < (L - 1))[:, None].astype(ct.dtype)
+    a_t = (1.0 - ct_next) * valid
+
+    gh = reverse_scan_pallas_tm(a_t, gt)  # zero outside the valid region
+
+    du = (ct * gh)[:L, :N].T
+    dc = (ut - ypt) * gh
+    dat = jnp.sum(jnp.where(attack, dc, 0.0), axis=0)[:N]
+    drt = jnp.sum(jnp.where(attack, 0.0, dc), axis=0)[:N]
+    dzi = ((1.0 - ct[0]) * gh[0])[:N]
     return du, dzi, dat, drt
 
 

@@ -72,6 +72,32 @@ def _bwd_kernel(a_ref, g_ref, gh_ref, state, *, chunk):
     state[:] = st
 
 
+def reverse_scan_pallas_tm(a_t, g_t, chunk: int = 2048):
+    """Time-major reverse recurrence ``gh[n] = g[n] + a[n] * gh[n+1]``
+    (with ``gh[end] = 0``) on an already-padded ``(Lp, Np)`` layout.
+
+    The walk starts at the last row; callers padding real length-``L``
+    data at the END must zero the pad rows of both ``a_t`` and ``g_t``
+    so the state entering the real tail is exactly 0.
+    """
+    Lp, Np = a_t.shape
+    S = Np // LANES
+    grid = (S, Lp // chunk)
+    spec = pl.BlockSpec(
+        (chunk, LANES),
+        lambda s, i: (pl.num_programs(1) - 1 - i, s),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, chunk=chunk),
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((Lp, Np), a_t.dtype),
+        scratch_shapes=[pltpu.VMEM((1, LANES), a_t.dtype)],
+    )(a_t, g_t)
+
+
 def reverse_scan_pallas(a, g, chunk: int = 2048):
     """Reverse first-order recurrence ``gh[n] = g[n] + a[n] * gh[n+1]``
     (with ``gh[L] = 0``) — the ballistics adjoint — as a sequential Pallas
@@ -86,38 +112,56 @@ def reverse_scan_pallas(a, g, chunk: int = 2048):
     Np = S * LANES
     Lp = -(-L // chunk) * chunk
 
-    # pad at the FRONT so the reverse walk starts at the true end; the
-    # pad region (a=0, g=0) then only affects entries before the start
-    pad = Lp - L
-    at_ = jnp.zeros((Lp, Np), a.dtype).at[pad:, :N].set(a.T)
-    gt_ = jnp.zeros((Lp, Np), g.dtype).at[pad:, :N].set(g.T)
+    # pad at the END with a = 0, g = 0: the reverse walk crosses the pad
+    # first and enters the real tail with state exactly 0
+    at_ = jnp.zeros((Lp, Np), a.dtype).at[:L, :N].set(a.T)
+    gt_ = jnp.zeros((Lp, Np), g.dtype).at[:L, :N].set(g.T)
+    gh = reverse_scan_pallas_tm(at_, gt_, chunk=chunk)
+    return gh[:L, :N].T
 
+
+def pad_time_major(x, chunk: int = 2048):
+    """``(N, L)`` -> end-padded time-major ``(Lp, Np)`` kernel layout."""
+    N, L = x.shape
+    S = -(-N // LANES)
+    Np = S * LANES
+    Lp = -(-L // chunk) * chunk
+    return jnp.zeros((Lp, Np), x.dtype).at[:L, :N].set(x.T)
+
+
+def expand_lanes(v, S):
+    """``(N,)`` -> zero-padded ``(S, LANES)`` per-lane constants."""
+    Np = S * LANES
+    return jnp.zeros((Np,), v.dtype).at[: v.shape[0]].set(v).reshape(S, LANES)
+
+
+def forward_pallas_tm(ut, zi2, at2, rt2, chunk: int = 2048):
+    """Ballistics forward on the padded time-major layout.
+
+    Args:
+        ut: ``(Lp, Np)`` inputs from :func:`pad_time_major`.
+        zi2, at2, rt2: ``(S, LANES)`` per-lane constants.
+
+    Returns:
+        ``(Lp, Np)`` smoothed outputs (same layout).
+    """
+    Lp, Np = ut.shape
+    S = Np // LANES
     grid = (S, Lp // chunk)
-    gh = pl.pallas_call(
-        functools.partial(_bwd_kernel, chunk=chunk),
+    lane_spec = pl.BlockSpec(
+        (1, LANES), lambda s, i: (s, 0), memory_space=pltpu.VMEM
+    )
+    data_spec = pl.BlockSpec(
+        (chunk, LANES), lambda s, i: (i, s), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, chunk=chunk),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (chunk, LANES),
-                lambda s, i: (pl.num_programs(1) - 1 - i, s),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (chunk, LANES),
-                lambda s, i: (pl.num_programs(1) - 1 - i, s),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (chunk, LANES),
-            lambda s, i: (pl.num_programs(1) - 1 - i, s),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((Lp, Np), a.dtype),
-        scratch_shapes=[pltpu.VMEM((1, LANES), a.dtype)],
-    )(at_, gt_)
-
-    return gh[pad:, :N].T
+        in_specs=[lane_spec, lane_spec, lane_spec, data_spec],
+        out_specs=data_spec,
+        out_shape=jax.ShapeDtypeStruct((Lp, Np), ut.dtype),
+        scratch_shapes=[pltpu.VMEM((1, LANES), ut.dtype)],
+    )(zi2, at2, rt2, ut)
 
 
 def forward_pallas(u, zi, at, rt, chunk: int = 2048):
@@ -132,33 +176,9 @@ def forward_pallas(u, zi, at, rt, chunk: int = 2048):
     """
     N, L = u.shape
     S = -(-N // LANES)
-    Np = S * LANES
-    Lp = -(-L // chunk) * chunk
-
-    ut = jnp.zeros((Lp, Np), u.dtype).at[:L, :N].set(u.T)
-
-    def expand(v):
-        return jnp.zeros((Np,), v.dtype).at[:N].set(v).reshape(S, LANES)
-
-    zi2, at2, rt2 = expand(zi), expand(at), expand(rt)
-
-    grid = (S, Lp // chunk)
-    y = pl.pallas_call(
-        functools.partial(_kernel, chunk=chunk),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, LANES), lambda s, i: (s, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda s, i: (s, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda s, i: (s, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (chunk, LANES), lambda s, i: (i, s), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (chunk, LANES), lambda s, i: (i, s), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((Lp, Np), u.dtype),
-        scratch_shapes=[pltpu.VMEM((1, LANES), u.dtype)],
-    )(zi2, at2, rt2, ut)
-
+    ut = pad_time_major(u, chunk)
+    y = forward_pallas_tm(
+        ut, expand_lanes(zi, S), expand_lanes(at, S), expand_lanes(rt, S),
+        chunk=chunk,
+    )
     return y[:L, :N].T

@@ -331,13 +331,17 @@ def _biquad_block_stage(x, bk, ak, T):
     Args:
         x: ``(N, L)``; bk ``(N, 3)`` normalized; ak ``(N, 3)`` normalized.
     """
+    return _biquad_block_stage_apply(x, _stage_eigen_kernels(bk, ak, T), T)
+
+
+def _biquad_block_stage_apply(x, kernels, T):
+    """Data path of :func:`_biquad_block_stage` on prebuilt kernels."""
+    h, K_out, K_in, M = kernels
     N, L = x.shape
     num_blocks = -(-L // T)
     pad = num_blocks * T - L
     xp = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
     xb = xp.reshape(N, num_blocks, T)
-
-    h, K_out, K_in, M = _stage_eigen_kernels(bk, ak, T)
 
     # Zero-state response inside each block: causal FFT conv, exact since
     # the filter history within a block never exceeds T samples.
@@ -415,6 +419,57 @@ def biquad_exact(x, Bs, As, block_size: int = 128):
     # longer cascades: single-pass blocked cascade operator (one big FFT
     # conv + MXU matmuls instead of K sequential FFT convs)
     return _biquad_block_cascade(x, b, a, T)
+
+
+def biquad_exact_build(Bs, As, block_size: int = 128):
+    """Build the parameter-dependent kernels of :func:`biquad_exact` once.
+
+    The kernel build costs ~``K * T`` work and, crucially, unrolls into
+    many small XLA ops; when the same filters are applied in several
+    render stages (e.g. an EQ type appearing on every console chain and
+    the master bus), building once and slicing per stage removes the
+    duplicated op streams (the ``precompute`` processor hook).
+
+    Args:
+        Bs, As: ``(N, K, 3)`` (un-normalized allowed).
+
+    Returns:
+        dict of arrays, leading dim ``N`` (sliceable per node batch).
+    """
+    b, a = _normalize(Bs, As)
+    K = b.shape[-2]
+    T = block_size
+    if K <= 2:
+        ks = [_stage_eigen_kernels(b[:, k], a[:, k], T) for k in range(K)]
+        return {
+            "h": jnp.stack([k_[0] for k_ in ks], 1),
+            "K_out": jnp.stack([k_[1] for k_ in ks], 1),
+            "K_in": jnp.stack([k_[2] for k_ in ks], 1),
+            "M": jnp.stack([k_[3] for k_ in ks], 1),
+        }
+    H, W, V, A = _cascade_kernels_doubling(b, a, T)
+    return {"H": H, "W": W, "V": V, "A": A}
+
+
+def biquad_exact_apply(x, cache, block_size: int = 128):
+    """Apply kernels from :func:`biquad_exact_build` to ``(N, L)``
+    signals.  Exact for any ``L`` (shorter signals just waste block
+    padding)."""
+    T = block_size
+    if "H" in cache:
+        return _biquad_block_cascade_apply(
+            x, (cache["H"], cache["W"], cache["V"], cache["A"]), T
+        )
+    y = x
+    for k in range(cache["h"].shape[1]):
+        kernels = (
+            cache["h"][:, k],
+            cache["K_out"][:, k],
+            cache["K_in"][:, k],
+            cache["M"][:, k],
+        )
+        y = _biquad_block_stage_apply(y, kernels, T)
+    return y
 
 
 # ---------------------------------------------------------------------------
@@ -541,13 +596,18 @@ def _biquad_block_cascade(x, b, a, T):
     Args:
         x: ``(N, L)``; b, a: ``(N, K, 3)`` normalized.
     """
+    return _biquad_block_cascade_apply(x, _cascade_kernels_doubling(b, a, T), T)
+
+
+def _biquad_block_cascade_apply(x, kernels, T):
+    """Data path of :func:`_biquad_block_cascade` on prebuilt kernels."""
+    H_cas, W, V, A_blk = kernels
     N, L = x.shape
     num_blocks = -(-L // T)
     pad = num_blocks * T - L
     xp = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
     xb = xp.reshape(N, num_blocks, T)
 
-    H_cas, W, V, A_blk = _cascade_kernels_doubling(b, a, T)
     S = W.shape[1]
 
     # (1) zero-state response: one causal FFT convolution

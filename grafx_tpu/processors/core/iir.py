@@ -17,7 +17,13 @@ Behavioral parity with the reference ``IIRFilter``
 import jax.numpy as jnp
 
 from grafx_tpu.ops.fftconv import fft_convolve
-from grafx_tpu.ops.iir import biquad_exact, biquad_scan, iir_fsm_fir
+from grafx_tpu.ops.iir import (
+    biquad_exact,
+    biquad_exact_apply,
+    biquad_exact_build,
+    biquad_scan,
+    iir_fsm_fir,
+)
 
 
 class IIRFilter:
@@ -53,18 +59,64 @@ class IIRFilter:
         self.fsm_fir_len = fsm_fir_len
         self.exact_block_size = exact_block_size
 
-    def __call__(self, input_signal, Bs, As):
+    def precompute(self, Bs, As):
+        """Build the parameter-dependent work once (``precompute`` hook).
+
+        For the ``"fsm"`` backend this is the FIR bank; for the exact
+        backend the blocked-cascade kernels
+        (:func:`grafx_tpu.ops.iir.biquad_exact_build`).  The returned
+        dict's arrays all have leading dim ``B`` (the node batch), so a
+        render executor can slice them per stage exactly like parameter
+        rows and pass the slice back via ``cache=``.
+
+        Returns ``None`` for backends with nothing to prebuild.
+        """
+        if self.backend == "fsm":
+            return {"firs": iir_fsm_fir(Bs, As, self.fsm_fir_len)}
+        if self.backend == "scan":
+            return {"Bs": Bs, "As": As}  # nothing to prebuild
+        B, C_f, K, _ = Bs.shape
+        cache = biquad_exact_build(
+            Bs.reshape(-1, K, 3),
+            As.reshape(-1, K, 3),
+            block_size=self.exact_block_size,
+        )
+        return {k: v.reshape((B, C_f) + v.shape[1:]) for k, v in cache.items()}
+
+    def __call__(self, input_signal, Bs=None, As=None, cache=None):
         """Apply the biquad cascade.
 
         Args:
             input_signal: ``(B, C_in, L)``.
             Bs, As: ``(B, C_filter, K, 3)`` coefficients; the channel dim
-                broadcasts against the input's.
+                broadcasts against the input's.  May be ``None`` when a
+                ``cache`` from :meth:`precompute` is given.
+            cache: optional prebuilt kernels from :meth:`precompute`.
 
         Returns:
             ``(B, C, L)`` filtered signals.
         """
         B, C_in, L = input_signal.shape
+
+        if cache is not None and "Bs" in cache:  # scan backend pass-through
+            Bs, As, cache = cache["Bs"], cache["As"], None
+        if cache is not None:
+            if self.backend == "fsm":
+                return fft_convolve(
+                    input_signal, cache["firs"], mode="causal", pad_mode="pow2"
+                )
+            C_f = next(iter(cache.values())).shape[1]
+            C = max(C_in, C_f)
+            x = jnp.broadcast_to(input_signal, (B, C, L)).reshape(-1, L)
+            cache_b = {
+                k: jnp.broadcast_to(
+                    v, (B, C) + v.shape[2:]
+                ).reshape((-1,) + v.shape[2:])
+                for k, v in cache.items()
+            }
+            y = biquad_exact_apply(x, cache_b, block_size=self.exact_block_size)
+            return y.reshape(B, C, L)
+
         C_f = Bs.shape[1]
         C = max(C_in, C_f)
 

@@ -100,7 +100,10 @@ class ParametricEqualizer:
         if processor_channel not in ("mono", "stereo", "midside"):
             raise ValueError(f"Invalid processor_channel: {processor_channel}")
 
-    def __call__(self, input_signals, w0, q_inv, log_gain):
+    def precompute(self, w0, q_inv, log_gain):
+        """``precompute`` hook: coefficient activations + backend kernel
+        build for ALL nodes of this type at once (the render executor
+        slices the result per stage — see docs/processors.md)."""
         w0, q_inv, A = BaseParametricEqualizerFilter.filter_parameter_activations(
             w0, q_inv, log_gain
         )
@@ -108,10 +111,15 @@ class ParametricEqualizer:
             BaseParametricEqualizerFilter.compute_common_filter_parameters(w0, q_inv)
         )
         Bs, As = self.get_biquad_coefficients(cos_w0, alpha, A)
+        return self.biquad.precompute(Bs, As)
+
+    def __call__(self, input_signals, w0=None, q_inv=None, log_gain=None, _cache=None):
+        if _cache is None:
+            _cache = self.precompute(w0, q_inv, log_gain)
         if self.processor_channel == "midside":
             x = lr_to_ms(input_signals)
-            return ms_to_lr(self.biquad(x, Bs, As))
-        return self.biquad(input_signals, Bs, As)
+            return ms_to_lr(self.biquad(x, cache=_cache))
+        return self.biquad(input_signals, cache=_cache)
 
     def get_biquad_coefficients(self, cos_w0, alpha, A):
         if not self.use_shelving_filters:
@@ -147,12 +155,19 @@ class GraphicEqualizer:
         if processor_channel not in ("mono", "stereo", "midside"):
             raise ValueError(f"Invalid processor_channel: {processor_channel}")
 
-    def __call__(self, input_signals, log_gains):
+    def precompute(self, log_gains):
+        """``precompute`` hook: band-filter design + backend kernel build
+        for all nodes of this type at once."""
         Bs, As = self.geq(log_gains)
+        return self.biquad.precompute(Bs, As)
+
+    def __call__(self, input_signals, log_gains=None, _cache=None):
+        if _cache is None:
+            _cache = self.precompute(log_gains)
         if self.processor_channel == "midside":
             x = lr_to_ms(input_signals)
-            return ms_to_lr(self.biquad(x, Bs, As))
-        return self.biquad(input_signals, Bs, As)
+            return ms_to_lr(self.biquad(x, cache=_cache))
+        return self.biquad(input_signals, cache=_cache)
 
     def parameter_size(self):
         n_channels = 1 if self.processor_channel == "mono" else 2

@@ -58,6 +58,21 @@ def render_grafx(
     """
     method = render_data.method
     ndim = input_signals.ndim
+
+    # Per-type precompute (processor-contract extension, see
+    # docs/processors.md): a processor exposing ``precompute(**params)``
+    # builds its parameter-dependent kernels ONCE for all nodes of the
+    # type; each stage slices the cached arrays exactly like parameter
+    # rows and receives the slice via ``_cache=``.  Types appearing in
+    # several stages (console chains + buses + master) would otherwise
+    # re-emit the whole kernel-build op stream per stage.
+    precomputed = {}
+    for _type, _proc in processors.items():
+        if hasattr(_proc, "precompute") and _type in per_type_parameters:
+            cache = _proc.precompute(**per_type_parameters[_type])
+            if cache is not None:
+                precomputed[_type] = cache
+
     if ndim == 3:
         node_dim = 0
         postprocess = None
@@ -68,6 +83,10 @@ def render_grafx(
         per_type_parameters = expand_tensor_or_tensor_dict(
             per_type_parameters, expand=batch_size, dim=0
         )
+        precomputed = {
+            k: expand_tensor_or_tensor_dict(v, expand=batch_size, dim=0)
+            for k, v in precomputed.items()
+        }
         if common_parameters is not None:
             common_parameters = expand_tensor_or_tensor_dict(
                 common_parameters, expand=batch_size, dim=0
@@ -119,7 +138,18 @@ def render_grafx(
                 )
             else:
                 common_i = {}
-            output = processors[node_type](*stage_inputs, **parameters, **common_i)
+            if node_type in precomputed:
+                cache_i = read_tensor_or_tensor_dict(
+                    precomputed[node_type],
+                    stage.parameter_read,
+                    dim=node_dim,
+                    postprocess=postprocess,
+                )
+                output = processors[node_type](
+                    *stage_inputs, **parameters, **common_i, _cache=cache_i
+                )
+            else:
+                output = processors[node_type](*stage_inputs, **parameters, **common_i)
             if isinstance(output, tuple):
                 output_signals, intermediates = output
                 intermediates_list.append(intermediates)

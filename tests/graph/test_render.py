@@ -266,6 +266,83 @@ def test_make_render_fn_caches_identical_plans():
     assert fns[0] is fns[1]
 
 
+def test_precompute_hook_matches_direct_call():
+    """The per-type precompute path (kernels built once, sliced per
+    stage) renders identically to calling the processor per stage with
+    raw parameters (VERDICT round-1 item 9).  The graph places the same
+    'eq' type in two different stages (chains + master)."""
+    from grafx_tpu.processors import ParametricEqualizer
+
+    config = NodeConfigs(["eq", "gain"])
+    G = GRAFX(config=config)
+    ends = []
+    for _ in range(3):
+        _, last = G.add_serial_chain(["in", "eq", "gain"])
+        ends.append(last)
+    mix = G.add("mix")
+    for e in ends:
+        G.connect(e, mix)
+    master_first, master_end = G.add_serial_chain(["eq", "gain"])
+    G.connect(mix, master_first)
+    out = G.add("out")
+    G.connect(master_end, out)
+
+    eq = ParametricEqualizer(num_filters=4, backend="exact")
+    assert hasattr(eq, "precompute")
+    processors = {"eq": eq, "gain": StereoGain()}
+    G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
+    plan = prepare_render(G_t)
+    # eq must appear in at least two stages for the test to bite
+    eq_idx = G_t.config.node_type_to_index["eq"]
+    eq_stages = sum(
+        1 for s in plan.iter_list if s.node_type == "eq"
+    )
+    assert eq_stages >= 2, eq_stages
+
+    params = create_empty_parameters(processors, G, key=jax.random.PRNGKey(7))
+    x = jax.random.normal(jax.random.PRNGKey(8), (3, 2, 2**10))
+
+    out_pre, _, _ = render_grafx(processors, x, params, plan)
+
+    # oracle: same render with the hook hidden (per-stage raw params)
+    class NoPrecomputeEq:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __call__(self, *a, **kw):
+            return self._inner(*a, **kw)
+
+        def parameter_size(self):
+            return self._inner.parameter_size()
+
+    out_raw, _, _ = render_grafx(
+        {"eq": NoPrecomputeEq(eq), "gain": StereoGain()}, x, params, plan
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pre), np.asarray(out_raw), rtol=1e-5, atol=1e-6
+    )
+
+    # gradients flow through the cached kernels
+    def loss(p):
+        o, _, _ = render_grafx(processors, x, p, plan)
+        return jnp.mean(o**2)
+
+    g = jax.grad(loss)(params)
+    for leaf in jax.tree.leaves(g):
+        assert jnp.isfinite(leaf).all()
+    assert float(jnp.abs(g["eq"]["w0"]).max()) > 0
+
+    # 4-dim source batch goes through the expanded-cache path
+    xb = jax.random.normal(jax.random.PRNGKey(9), (2, 3, 2, 2**10))
+    out_b, _, _ = render_grafx(processors, xb, params, plan)
+    out_b_raw, _, _ = render_grafx(
+        {"eq": NoPrecomputeEq(eq), "gain": StereoGain()}, xb, params, plan
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_b), np.asarray(out_b_raw), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_make_render_fn_static_config_cache_key():
     """The cache keys on processor static config, not object identity:
     identically-configured processors share a closure, differently-
