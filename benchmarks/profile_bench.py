@@ -1,0 +1,172 @@
+"""Profile the headline bench step and print a device-time breakdown.
+
+Captures a ``jax.profiler`` trace of a few optimizer steps on the real
+TPU and aggregates device-stream op durations by category (ballistics
+kernels, FFT, data movement, elementwise fusion, ...).  This is the tool
+behind the breakdown tables in BASELINE.md.
+
+Usage:
+    python benchmarks/profile_bench.py [BATCH]
+"""
+
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+import tempfile
+
+import jax
+import jax.numpy as jnp
+
+
+def capture(step_fn, params, steps=3, log_dir=None):
+    """Run ``params = step_fn(params)[1]`` under a profiler trace."""
+    if log_dir is None:
+        log_dir = tempfile.mkdtemp(prefix="grafx_prof_")
+    # warmup/compile outside the trace
+    loss, params = step_fn(params)
+    jax.block_until_ready(params)
+    jax.profiler.start_trace(log_dir)
+    for _ in range(steps):
+        loss, params = step_fn(params)
+    jax.block_until_ready(params)
+    jax.profiler.stop_trace()
+    return log_dir
+
+
+CATEGORIES = (
+    ("ballistics-kernel", ("_kernel", "_bwd_kernel", "pallas")),
+    ("fft", ("fft",)),
+    ("einsum/matmul", ("dot", "einsum", "conv")),
+    ("data-movement", ("copy", "pad", "slice", "transpose", "concatenate",
+                       "dynamic-update", "dynamic_update", "gather",
+                       "scatter", "select-and-scatter", "reshape",
+                       "broadcast", "iota")),
+    ("reduce", ("reduce",)),
+)
+
+
+def categorize(name):
+    low = name.lower()
+    for cat, keys in CATEGORIES:
+        for k in keys:
+            if k in low:
+                return cat
+    return "elementwise/fusion"
+
+
+def summarize(log_dir, top=25):
+    paths = glob.glob(
+        os.path.join(log_dir, "**", "*.trace.json.gz"), recursive=True
+    )
+    if not paths:
+        raise SystemExit(f"no trace.json.gz under {log_dir}")
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        trace = json.load(f)
+    events = trace["traceEvents"]
+
+    # device-stream PIDs: process names that look like device/TPU streams
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    device_pids = {
+        p for p, n in pid_names.items()
+        if any(k in n.lower() for k in ("tpu", "device", "xla", "axon"))
+        and "host" not in n.lower()
+    }
+
+    per_op = collections.Counter()
+    per_cat = collections.Counter()
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        name = e.get("name", "")
+        if name.startswith("$") or name in ("", "unknown"):
+            continue
+        dur = e.get("dur", 0) / 1e6  # us -> s
+        per_op[name] += dur
+        per_cat[categorize(name)] += dur
+        total += dur
+
+    print(f"trace: {path}")
+    print(f"total device op time: {total * 1e3:.2f} ms (across trace)")
+    print("\n-- by category --")
+    for cat, t in per_cat.most_common():
+        print(f"{t * 1e3:9.2f} ms  {100 * t / total:5.1f}%  {cat}")
+    print(f"\n-- top {top} ops --")
+    for name, t in per_op.most_common(top):
+        print(f"{t * 1e3:9.2f} ms  {name[:110]}")
+    return per_cat, per_op
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else None
+    import bench
+
+    if batch is not None:
+        bench.BATCH = batch
+
+    from grafx_tpu.data import convert_to_tensor
+    from grafx_tpu.render import (
+        make_render_fn,
+        prepare_render,
+        reorder_for_fast_render,
+    )
+    from grafx_tpu.utils import create_empty_parameters, enable_compilation_cache
+
+    enable_compilation_cache()
+    G = bench.build_mix_graph()
+    from grafx_tpu.processors import (
+        Compressor,
+        GraphicEqualizer,
+        NoiseGate,
+        ParametricEqualizer,
+        STFTMaskedNoiseReverb,
+        StereoGain,
+        TanhDistortion,
+    )
+
+    processors = {
+        "eq": ParametricEqualizer(num_filters=6, backend="exact"),
+        "geq": GraphicEqualizer(scale="bark", backend="exact"),
+        "compressor": Compressor(energy_smoother="ballistics"),
+        "noisegate": NoiseGate(energy_smoother="iir_exact"),
+        "gain": StereoGain(),
+        "dist": TanhDistortion(),
+        "reverb": STFTMaskedNoiseReverb(ir_len=30000),
+    }
+    G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
+    plan = prepare_render(G_t)
+    params = create_empty_parameters(processors, G, key=jax.random.PRNGKey(0))
+    render = make_render_fn(processors, plan)
+
+    B = bench.BATCH
+    shape = (B, bench.NUM_CHAINS, 2, bench.AUDIO_LEN)
+    x = jax.random.normal(jax.random.PRNGKey(1), shape)
+    target = jax.random.normal(jax.random.PRNGKey(2), (B, 1, 2, bench.AUDIO_LEN))
+
+    @jax.jit
+    def train_step(p):
+        def loss_fn(p):
+            out, _, _ = render(x, p)
+            return jnp.mean((out - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        p = jax.tree.map(lambda w, g: w - 1e-3 * g, p, grads)
+        return loss, p
+
+    steps = 3
+    log_dir = capture(train_step, params, steps=steps)
+    per_cat, _ = summarize(log_dir)
+    print(f"\nper-step by category (trace / {steps}):")
+    for cat, t in per_cat.most_common():
+        print(f"{t * 1e3 / steps:9.2f} ms  {cat}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Verify the Pallas ballistics kernels against the scan path ON TPU,
+then microbenchmark them.
+
+The pytest suite runs on a forced-CPU mesh (tests/conftest.py), so the
+Pallas path is exercised here on the real chip: forward values and all
+four gradients must match the ``lax.scan`` reference within float32
+tolerance.
+
+Usage: python benchmarks/verify_ballistics_tpu.py
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grafx_tpu.ops import ballistics
+from grafx_tpu.ops.ballistics import ballistics_core
+
+
+def run_case(N, L, seed):
+    rng = np.random.RandomState(seed)
+    u = jnp.asarray(np.abs(rng.randn(N, L)).astype(np.float32))
+    zi = jnp.asarray(np.abs(rng.randn(N)).astype(np.float32))
+    at = jnp.asarray(rng.uniform(0.05, 0.9, N).astype(np.float32))
+    rt = jnp.asarray(rng.uniform(0.001, 0.3, N).astype(np.float32))
+    w = jnp.asarray(rng.randn(N, L).astype(np.float32))
+
+    def loss(u, zi, at, rt):
+        return jnp.sum(ballistics_core(u, zi, at, rt) * w)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3)))
+
+    ballistics.set_backend("pallas")
+    y_p = jax.jit(ballistics_core)(u, zi, at, rt)
+    v_p, g_p = grad_fn(u, zi, at, rt)
+    jax.block_until_ready((y_p, v_p, g_p))
+
+    ballistics.set_backend("scan")
+    y_s = jax.jit(ballistics_core)(u, zi, at, rt)
+    v_s, g_s = grad_fn(u, zi, at, rt)
+    jax.block_until_ready((y_s, v_s, g_s))
+    ballistics.set_backend(None)
+
+    def rel(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return np.abs(a - b).max() / (np.abs(b).max() + 1e-30)
+
+    names = ["du", "dzi", "dat", "drt"]
+    errs = {"y": rel(y_p, y_s)}
+    for n, a, b in zip(names, g_p, g_s):
+        errs[n] = rel(a, b)
+    print(f"N={N:4d} L={L:7d}  " + "  ".join(f"{k}={v:.2e}" for k, v in errs.items()))
+    tol = {"y": 2e-5, "du": 1e-4, "dzi": 1e-3, "dat": 2e-3, "drt": 2e-3}
+    for k, v in errs.items():
+        assert v < tol[k], f"{k} rel err {v} exceeds {tol[k]} (N={N}, L={L})"
+
+
+def microbench(N, L, iters=30):
+    rng = np.random.RandomState(0)
+    u = jnp.asarray(np.abs(rng.randn(N, L)).astype(np.float32))
+    zi = jnp.ones((N,), jnp.float32)
+    at = jnp.full((N,), 0.3, jnp.float32)
+    rt = jnp.full((N,), 0.01, jnp.float32)
+    w = jnp.asarray(rng.randn(N, L).astype(np.float32))
+
+    ballistics.set_backend("pallas")
+
+    @jax.jit
+    def fwd(s, u):
+        return ballistics_core(u * s, zi, at, rt)
+
+    @jax.jit
+    def fwdbwd(s, u):
+        return jax.grad(
+            lambda u_: jnp.sum(ballistics_core(u_, zi, at, rt) * w)
+        )(u * s)
+
+    for name, fn in [("fwd", fwd), ("fwd+bwd", fwdbwd)]:
+        scales = [jnp.float32(1.0 + i * 1e-6) for i in range(iters + 1)]
+        jax.block_until_ready(fn(scales[0], u))
+        t0 = time.time()
+        for s in scales[1:]:
+            out = fn(s, u)
+        jax.block_until_ready(out)
+        dt = (time.time() - t0) / iters
+        print(
+            f"  {name:8s} N={N:4d} L={L}: {dt * 1e3:7.3f} ms"
+            f"  ({dt / L * 1e9:6.2f} ns/sample)"
+        )
+    ballistics.set_backend(None)
+
+
+if __name__ == "__main__":
+    print("backend:", jax.default_backend())
+    print("-- parity (pallas vs scan, on-device) --")
+    run_case(3, 400, 0)
+    run_case(17, 2**17, 1)
+    run_case(68, 2**17, 2)
+    run_case(130, 5000, 3)  # > 128 lanes -> two lane groups
+    print("-- microbenchmark (pallas) --")
+    for N in (17, 68):
+        microbench(N, 2**17)
+    print("OK")

@@ -84,21 +84,24 @@ def _ballistics_fwd(u, zi, at, rt):
         # the backward kernel consumes the same layout, so the whole VJP
         # needs only one transpose in (u, g each) and one out (y, du)
         # instead of re-padding/transposing around every kernel call.
+        # The only saved full-length residual is d[n] = u[n] - y[n-1]: it
+        # encodes both the attack/release decisions (d > 0) and the dc
+        # factor, so neither u nor y needs to be kept.
         from grafx_tpu.ops.ballistics_tpu import (
             LANES,
             expand_lanes,
-            forward_pallas_tm,
+            forward_pallas_tm_d,
             pad_time_major,
         )
 
         N, L = u.shape
         S = -(-N // LANES)
         ut = pad_time_major(u)
-        yt = forward_pallas_tm(
+        yt, dt = forward_pallas_tm_d(
             ut, expand_lanes(zi, S), expand_lanes(at, S), expand_lanes(rt, S)
         )
         y = yt[:L, :N].T
-        return y, (ut, yt, zi, at, rt)
+        return y, (dt, at, rt)
     y = _forward_scan(u, zi, at, rt)
     return y, (u, y, zi, at, rt)
 
@@ -130,41 +133,29 @@ def _ballistics_bwd(res, g):
 
 
 def _ballistics_bwd_pallas(res, g):
-    """Backward pass entirely in the padded time-major layout."""
+    """Backward pass as ONE fused Pallas kernel in the padded time-major
+    layout — no full-length HBM temporaries beyond (d, g, du)."""
     from grafx_tpu.ops.ballistics_tpu import (
         LANES,
+        backward_fused_pallas_tm,
         expand_lanes,
         pad_time_major,
-        reverse_scan_pallas_tm,
     )
 
-    ut, yt, zi, at, rt = res
+    dt, at, rt = res
     N, L = g.shape
-    Lp, Np = ut.shape
+    Lp, Np = dt.shape
     S = Np // LANES
     gt = pad_time_major(g)
 
-    zi_row = expand_lanes(zi, S).reshape(1, Np)
-    at_row = expand_lanes(at, S).reshape(1, Np)
-    rt_row = expand_lanes(rt, S).reshape(1, Np)
-
-    ypt = jnp.concatenate([zi_row, yt[:-1]], axis=0)  # y[n-1], time-major
-    attack = ut > ypt
-    ct = jnp.where(attack, at_row, rt_row)  # (Lp, Np)
-
-    # a[n] = 1 - c[n+1] for n < L-1, else 0 (pad rows must be zero so the
-    # reverse walk enters the real tail with state exactly 0)
-    ct_next = jnp.concatenate([ct[1:], jnp.zeros_like(ct[:1])], axis=0)
-    valid = (jnp.arange(Lp) < (L - 1))[:, None].astype(ct.dtype)
-    a_t = (1.0 - ct_next) * valid
-
-    gh = reverse_scan_pallas_tm(a_t, gt)  # zero outside the valid region
-
-    du = (ct * gh)[:L, :N].T
-    dc = (ut - ypt) * gh
-    dat = jnp.sum(jnp.where(attack, dc, 0.0), axis=0)[:N]
-    drt = jnp.sum(jnp.where(attack, 0.0, dc), axis=0)[:N]
-    dzi = ((1.0 - ct[0]) * gh[0])[:N]
+    du_t, dat2, drt2, dzi2 = backward_fused_pallas_tm(
+        dt, gt, expand_lanes(at, S), expand_lanes(rt, S)
+    )
+    du = du_t[:L, :N].T
+    # per-lane outputs come back as (8*S, LANES) with broadcast rows
+    dat = dat2[::8].reshape(-1)[:N]
+    drt = drt2[::8].reshape(-1)[:N]
+    dzi = dzi2[::8].reshape(-1)[:N]
     return du, dzi, dat, drt
 
 

@@ -29,26 +29,146 @@ TILE = 32
 
 
 def _kernel(zi_ref, at_ref, rt_ref, u_ref, y_ref, state, *, chunk):
+    """Forward recursion, critical-path-optimized.
+
+    ``y[n] = y[n-1] + c (u[n] - y[n-1])`` is computed as the equivalent
+    ``select(u > y, (1-at) y + at u, (1-rt) y + rt u)``: the per-tile
+    products ``at*u`` / ``rt*u`` are hoisted OFF the sequential chain, so
+    each step's dependent work is one multiply, one add, and one select
+    (the compare issues in parallel with the multiplies) instead of the
+    naive sub -> compare -> select -> mul -> add chain.
+    """
+
     @pl.when(pl.program_id(1) == 0)
     def _():
-        state[:] = zi_ref[:]
+        state[:] = zi_ref[0:1, :]
 
-    at = at_ref[:]  # (1, LANES)
-    rt = rt_ref[:]
+    at = at_ref[0:1, :]  # constant block rows are broadcast copies
+    rt = rt_ref[0:1, :]
+    oma = 1.0 - at
+    omr = 1.0 - rt
 
     def body(j, st):
         tile = u_ref[pl.ds(j * TILE, TILE), :]  # (TILE, LANES), one reg tile
+        au = at * tile  # hoisted off the sequential chain
+        ru = rt * tile
         rows = []
         for k in range(TILE):
             row = tile[k : k + 1, :]
-            c = jnp.where(row > st, at, rt)
-            st = st + c * (row - st)
+            st_a = oma * st + au[k : k + 1, :]
+            st_r = omr * st + ru[k : k + 1, :]
+            st = jnp.where(row > st, st_a, st_r)
             rows.append(st)
         y_ref[pl.ds(j * TILE, TILE), :] = jnp.concatenate(rows, axis=0)
         return st
 
     st = jax.lax.fori_loop(0, chunk // TILE, body, state[:])
     state[:] = st
+
+
+def _fwd_d_kernel(zi_ref, at_ref, rt_ref, u_ref, y_ref, d_ref, state, *, chunk):
+    """Forward recursion that also emits ``d[n] = u[n] - y[n-1]``.
+
+    ``d`` is the only residual the fused backward kernel needs: it
+    encodes the attack/release decisions (``d > 0``) and the ``dc``
+    factor, so saving it replaces saving both ``u`` and ``y``.
+    """
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        state[:] = zi_ref[0:1, :]
+
+    at = at_ref[0:1, :]
+    rt = rt_ref[0:1, :]
+    oma = 1.0 - at
+    omr = 1.0 - rt
+
+    def body(j, st):
+        tile = u_ref[pl.ds(j * TILE, TILE), :]
+        au = at * tile
+        ru = rt * tile
+        rows = []
+        drows = []
+        for k in range(TILE):
+            row = tile[k : k + 1, :]
+            drows.append(row - st)  # off the sequential chain
+            st_a = oma * st + au[k : k + 1, :]
+            st_r = omr * st + ru[k : k + 1, :]
+            st = jnp.where(row > st, st_a, st_r)
+            rows.append(st)
+        y_ref[pl.ds(j * TILE, TILE), :] = jnp.concatenate(rows, axis=0)
+        d_ref[pl.ds(j * TILE, TILE), :] = jnp.concatenate(drows, axis=0)
+        return st
+
+    st = jax.lax.fori_loop(0, chunk // TILE, body, state[:])
+    state[:] = st
+
+
+def _bwd_fused_kernel(
+    at_ref, rt_ref, d_ref, g_ref,
+    du_ref, dat_ref, drt_ref, dzi_ref,
+    gh_s, omc_s, aat_s, art_s, *, chunk,
+):
+    """Fused ballistics adjoint.
+
+    Walks time back-to-front and computes, entirely in VMEM, everything
+    the VJP needs from the saved residual ``d[n] = u[n] - y[n-1]``:
+
+        attack[n] = d[n] > 0,   c[n] = attack ? at : rt
+        gh[n] = g[n] + (1 - c[n+1]) gh[n+1]        (the adjoint recursion)
+        du[n] = c[n] gh[n]
+        dat   = sum_{attack} d gh,   drt = sum_{!attack} d gh
+        dzi   = (1 - c[0]) gh[0]
+
+    This replaces ~10 full-length HBM temporaries (y_prev, masks, c,
+    c_next, a, dc, masked sums...) the unfused backward materialized.
+    The sequential chain per step is a single fused multiply-add; the
+    coefficient select and the reductions issue off the chain.  Within a
+    tile, ``dc`` contributions are tree-summed before touching the
+    running accumulator to bound sequential-accumulation error.
+    """
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        gh_s[:] = jnp.zeros_like(gh_s)
+        omc_s[:] = jnp.zeros_like(omc_s)  # a[L-1] = 0: gh[L-1] = g[L-1]
+        aat_s[:] = jnp.zeros_like(aat_s)
+        art_s[:] = jnp.zeros_like(art_s)
+
+    at = at_ref[0:1, :]
+    rt = rt_ref[0:1, :]
+
+    def body(j, carry):
+        gh, omc, aat, art = carry
+        base = chunk - (j + 1) * TILE
+        d_tile = d_ref[pl.ds(base, TILE), :]
+        g_tile = g_ref[pl.ds(base, TILE), :]
+        att_tile = d_tile > 0
+        ct_tile = jnp.where(att_tile, at, rt)  # off the sequential chain
+        du_rows = []
+        dc_rows = []
+        for k in range(TILE - 1, -1, -1):
+            gh = g_tile[k : k + 1, :] + omc * gh  # the only dependent op
+            omc = 1.0 - ct_tile[k : k + 1, :]  # next step's (1 - c[n+1])
+            dc_rows.append(d_tile[k : k + 1, :] * gh)
+            du_rows.append(ct_tile[k : k + 1, :] * gh)
+        du_ref[pl.ds(base, TILE), :] = jnp.concatenate(du_rows[::-1], axis=0)
+        dc = jnp.concatenate(dc_rows[::-1], axis=0)  # (TILE, LANES)
+        aat = aat + jnp.sum(jnp.where(att_tile, dc, 0.0), axis=0, keepdims=True)
+        art = art + jnp.sum(jnp.where(att_tile, 0.0, dc), axis=0, keepdims=True)
+        return gh, omc, aat, art
+
+    gh, omc, aat, art = jax.lax.fori_loop(
+        0, chunk // TILE, body, (gh_s[:], omc_s[:], aat_s[:], art_s[:])
+    )
+    gh_s[:] = gh
+    omc_s[:] = omc
+    aat_s[:] = aat
+    art_s[:] = art
+    dat_ref[:] = jnp.broadcast_to(aat, dat_ref.shape)
+    drt_ref[:] = jnp.broadcast_to(art, drt_ref.shape)
+    # valid at the last grid step: (1 - c[0]) gh[0]
+    dzi_ref[:] = jnp.broadcast_to(omc * gh, dzi_ref.shape)
 
 
 def _bwd_kernel(a_ref, g_ref, gh_ref, state, *, chunk):
@@ -72,7 +192,7 @@ def _bwd_kernel(a_ref, g_ref, gh_ref, state, *, chunk):
     state[:] = st
 
 
-def reverse_scan_pallas_tm(a_t, g_t, chunk: int = 2048):
+def reverse_scan_pallas_tm(a_t, g_t, chunk: int = 2048, interpret: bool = False):
     """Time-major reverse recurrence ``gh[n] = g[n] + a[n] * gh[n+1]``
     (with ``gh[end] = 0``) on an already-padded ``(Lp, Np)`` layout.
 
@@ -95,6 +215,7 @@ def reverse_scan_pallas_tm(a_t, g_t, chunk: int = 2048):
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((Lp, Np), a_t.dtype),
         scratch_shapes=[pltpu.VMEM((1, LANES), a_t.dtype)],
+        interpret=interpret,
     )(a_t, g_t)
 
 
@@ -130,12 +251,18 @@ def pad_time_major(x, chunk: int = 2048):
 
 
 def expand_lanes(v, S):
-    """``(N,)`` -> zero-padded ``(S, LANES)`` per-lane constants."""
+    """``(N,)`` -> zero-padded ``(8 * S, LANES)`` per-lane constants.
+
+    Each lane group ``s`` occupies a full ``(8, LANES)`` sublane tile
+    (rows broadcast) so Mosaic's block-alignment rule (last two block
+    dims divisible by (8, 128)) holds for any number of lane groups.
+    """
     Np = S * LANES
-    return jnp.zeros((Np,), v.dtype).at[: v.shape[0]].set(v).reshape(S, LANES)
+    rows = jnp.zeros((Np,), v.dtype).at[: v.shape[0]].set(v).reshape(S, 1, LANES)
+    return jnp.broadcast_to(rows, (S, 8, LANES)).reshape(S * 8, LANES)
 
 
-def forward_pallas_tm(ut, zi2, at2, rt2, chunk: int = 2048):
+def forward_pallas_tm(ut, zi2, at2, rt2, chunk: int = 2048, interpret: bool = False):
     """Ballistics forward on the padded time-major layout.
 
     Args:
@@ -149,7 +276,7 @@ def forward_pallas_tm(ut, zi2, at2, rt2, chunk: int = 2048):
     S = Np // LANES
     grid = (S, Lp // chunk)
     lane_spec = pl.BlockSpec(
-        (1, LANES), lambda s, i: (s, 0), memory_space=pltpu.VMEM
+        (8, LANES), lambda s, i: (s, 0), memory_space=pltpu.VMEM
     )
     data_spec = pl.BlockSpec(
         (chunk, LANES), lambda s, i: (i, s), memory_space=pltpu.VMEM
@@ -161,7 +288,78 @@ def forward_pallas_tm(ut, zi2, at2, rt2, chunk: int = 2048):
         out_specs=data_spec,
         out_shape=jax.ShapeDtypeStruct((Lp, Np), ut.dtype),
         scratch_shapes=[pltpu.VMEM((1, LANES), ut.dtype)],
+        interpret=interpret,
     )(zi2, at2, rt2, ut)
+
+
+def forward_pallas_tm_d(ut, zi2, at2, rt2, chunk: int = 2048, interpret: bool = False):
+    """Like :func:`forward_pallas_tm` but also returns the residual
+    ``d[n] = u[n] - y[n-1]`` (same padded layout) for the fused backward
+    kernel.  Pad rows of ``d`` are garbage (``-y[L-1]``), which is safe:
+    the backward weighs them by ``gh = 0`` there.
+    """
+    Lp, Np = ut.shape
+    S = Np // LANES
+    grid = (S, Lp // chunk)
+    lane_spec = pl.BlockSpec(
+        (8, LANES), lambda s, i: (s, 0), memory_space=pltpu.VMEM
+    )
+    data_spec = pl.BlockSpec(
+        (chunk, LANES), lambda s, i: (i, s), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_d_kernel, chunk=chunk),
+        grid=grid,
+        in_specs=[lane_spec, lane_spec, lane_spec, data_spec],
+        out_specs=(data_spec, data_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((Lp, Np), ut.dtype),
+            jax.ShapeDtypeStruct((Lp, Np), ut.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((1, LANES), ut.dtype)],
+        interpret=interpret,
+    )(zi2, at2, rt2, ut)
+
+
+def backward_fused_pallas_tm(dt, gt, at2, rt2, chunk: int = 2048, interpret: bool = False):
+    """Fused ballistics adjoint on the padded time-major layout.
+
+    Args:
+        dt: ``(Lp, Np)`` residual ``u - y_prev`` from
+            :func:`forward_pallas_tm_d`.
+        gt: ``(Lp, Np)`` output cotangent, zero in all pad rows/lanes.
+        at2, rt2: ``(S, LANES)`` per-lane smoothing factors.
+
+    Returns:
+        ``(du_t, dat, drt, dzi)`` — ``du_t`` is ``(Lp, Np)`` time-major;
+        the rest are ``(8 * S, LANES)`` per-lane scalars (rows within a
+        lane group are broadcast copies; take row ``::8``).
+    """
+    Lp, Np = dt.shape
+    S = Np // LANES
+    grid = (S, Lp // chunk)
+    rev_spec = pl.BlockSpec(
+        (chunk, LANES),
+        lambda s, i: (pl.num_programs(1) - 1 - i, s),
+        memory_space=pltpu.VMEM,
+    )
+    lane_spec = pl.BlockSpec(
+        (8, LANES), lambda s, i: (s, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, chunk=chunk),
+        grid=grid,
+        in_specs=[lane_spec, lane_spec, rev_spec, rev_spec],
+        out_specs=(rev_spec, lane_spec, lane_spec, lane_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((Lp, Np), dt.dtype),
+            jax.ShapeDtypeStruct((S * 8, LANES), dt.dtype),
+            jax.ShapeDtypeStruct((S * 8, LANES), dt.dtype),
+            jax.ShapeDtypeStruct((S * 8, LANES), dt.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((1, LANES), dt.dtype)] * 4,
+        interpret=interpret,
+    )(at2, rt2, dt, gt)
 
 
 def forward_pallas(u, zi, at, rt, chunk: int = 2048):

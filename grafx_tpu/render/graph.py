@@ -32,6 +32,50 @@ from grafx_tpu.render.core import (
 )
 
 
+def _row_sources(render_data):
+    """Static map buffer_row -> (stage index, row within that stage's
+    output).  Every buffer row is written exactly once by a known stage,
+    so reads can resolve directly into per-stage outputs ("stages"
+    buffer mode) instead of going through one threaded buffer array."""
+    row_src = {}
+    for j, stage in enumerate(render_data.iter_list):
+        dw = stage.dest_write
+        if dw.method == "none":
+            continue
+        rows = range(dw.idx[0], dw.idx[1]) if dw.method == "slice" else dw.idx
+        for p, r in enumerate(rows):
+            row_src[r] = (j, p)
+    return row_src
+
+
+def _read_rows_from_stages(stage_outputs, rows, row_src, dim):
+    """Gather buffer rows as slices of per-stage outputs.
+
+    Consecutive rows from the same stage coalesce into one static slice
+    (after ``reorder_for_fast_render`` most reads are exactly one slice,
+    which XLA folds into the consumer — zero data movement)."""
+    runs = []  # (stage, lo, hi)
+    for r in rows:
+        j, p = row_src[r]
+        if runs and runs[-1][0] == j and runs[-1][2] == p:
+            runs[-1][2] = p + 1
+        else:
+            runs.append([j, p, p + 1])
+    parts = []
+    for j, lo, hi in runs:
+        index = (slice(None),) * dim + (slice(lo, hi),)
+        parts.append(stage_outputs[j][index])
+    if len(parts) == 1:
+        return parts[0]
+    return jnp.concatenate(parts, axis=dim)
+
+
+def _access_rows(access):
+    if access.method == "slice":
+        return list(range(access.idx[0], access.idx[1]))
+    return list(access.idx)
+
+
 def render_grafx(
     processors,
     input_signals,
@@ -40,6 +84,7 @@ def render_grafx(
     common_parameters=None,
     parameters_grad=True,  # accepted for API parity; unused in JAX
     input_signal_grad=False,  # accepted for API parity; unused in JAX
+    buffer_mode="auto",
 ):
     """Render an audio graph.
 
@@ -52,12 +97,24 @@ def render_grafx(
         render_data: the static :class:`RenderData` plan.
         common_parameters: optional tensor/dict with dim-0 size ``|V|``
             shared across all node types.
+        buffer_mode: ``"stages"`` keeps every stage's output as its own
+            array and resolves reads as static slices into them (no
+            threaded buffer array, no update-slice traffic);
+            ``"array"`` threads one functional ``(.., num_buffers, C,
+            L)`` buffer like the reference.  ``"auto"`` picks
+            ``"stages"`` for scheduled plans, ``"array"`` for
+            one-by-one.  Outputs are identical; the returned
+            ``signal_buffer`` in stages mode is assembled on demand
+            (XLA removes it when unused).
 
     Returns:
         ``(output_signals, intermediates_list, signal_buffer)``.
     """
     method = render_data.method
     ndim = input_signals.ndim
+    if buffer_mode == "auto":
+        buffer_mode = "array" if method == "one-by-one" else "stages"
+    use_stages = buffer_mode == "stages" and method != "one-by-one"
 
     # Per-type precompute (processor-contract extension, see
     # docs/processors.md): a processor exposing ``precompute(**params)``
@@ -103,9 +160,14 @@ def render_grafx(
             f" got {input_signals.shape[node_dim]}."
         )
 
-    signal_buffer = create_signal_buffer(
-        method, render_data.num_buffers, input_signals
-    )
+    if use_stages:
+        row_src = _row_sources(render_data)
+        stage_outputs = [input_signals]
+        signal_buffer = None
+    else:
+        signal_buffer = create_signal_buffer(
+            method, render_data.num_buffers, input_signals
+        )
 
     intermediates_list = []
     output_signals = None
@@ -115,7 +177,14 @@ def render_grafx(
 
         stage_inputs = []
         for read, aggregate in zip(stage.source_reads, stage.aggregations):
-            sig = read_tensor_or_tensor_dict(signal_buffer, read, dim=node_dim)
+            if use_stages:
+                sig = _read_rows_from_stages(
+                    stage_outputs, _access_rows(read), row_src, node_dim
+                )
+            else:
+                sig = read_tensor_or_tensor_dict(
+                    signal_buffer, read, dim=node_dim
+                )
             sig = aggregate_tensor(sig, aggregate, dim=node_dim)
             if ndim == 4 and not isinstance(signal_buffer, list):
                 sig = flatten_batch_and_node(sig)
@@ -175,8 +244,22 @@ def render_grafx(
                 (batch_size, -1, channels, audio_len)
             )
 
-        signal_buffer = write_tensor(
-            method, signal_buffer, output_signals, stage.dest_write, dim=node_dim
+        if use_stages:
+            stage_outputs.append(output_signals)
+        else:
+            signal_buffer = write_tensor(
+                method, signal_buffer, output_signals, stage.dest_write,
+                dim=node_dim,
+            )
+
+    if use_stages:
+        # Assemble the API-parity signal buffer from the stage outputs
+        # (a single concat in buffer-row order; XLA dead-code-eliminates
+        # it when the caller ignores the third return value).
+        all_rows = list(range(render_data.num_buffers))
+        written = [r for r in all_rows if r in row_src]
+        signal_buffer = _read_rows_from_stages(
+            stage_outputs, written, row_src, node_dim
         )
 
     return output_signals, intermediates_list, signal_buffer
@@ -225,7 +308,9 @@ def _processor_static_key(proc):
     return walk(proc)
 
 
-def make_render_fn(processors, render_data, jit=True, donate_buffer=False):
+def make_render_fn(
+    processors, render_data, jit=True, donate_buffer=False, buffer_mode="auto"
+):
     """Build a render closure over static (processors, plan).
 
     The returned function has signature
@@ -240,6 +325,7 @@ def make_render_fn(processors, render_data, jit=True, donate_buffer=False):
         render_data,
         tuple(sorted((k, _processor_static_key(v)) for k, v in processors.items())),
         jit,
+        buffer_mode,
     )
     cached = _RENDER_FN_CACHE.get(cache_key)
     if cached is not None:
@@ -252,6 +338,7 @@ def make_render_fn(processors, render_data, jit=True, donate_buffer=False):
             per_type_parameters,
             render_data,
             common_parameters=common_parameters,
+            buffer_mode=buffer_mode,
         )
 
     if jit and render_data.method != "one-by-one":

@@ -417,3 +417,69 @@ def test_batch_grafx_end_to_end():
         np.testing.assert_allclose(
             np.asarray(out[g]), np.asarray(out_i[0]), rtol=1e-5
         )
+
+
+def test_buffer_modes_agree():
+    """"stages" buffer mode (per-stage outputs + static-slice reads) must
+    produce outputs, intermediates, and the assembled signal buffer
+    identical to the reference-style threaded "array" buffer — including
+    scatter fan-in (two mixes in one stage) and the 4-dim batch path."""
+    config = NodeConfigs(["gain"])
+    G = GRAFX(config=config)
+    ends = []
+    for _ in range(4):
+        _, last = G.add_serial_chain(["in", "gain"])
+        ends.append(last)
+    # two mix nodes scheduled in the same stage -> scatter aggregation
+    mix_a = G.add("mix")
+    mix_b = G.add("mix")
+    G.connect(ends[0], mix_a)
+    G.connect(ends[2], mix_a)
+    G.connect(ends[1], mix_b)
+    G.connect(ends[3], mix_b)
+    ga = G.add("gain")
+    gb = G.add("gain")
+    G.connect(mix_a, ga)
+    G.connect(mix_b, gb)
+    out_mix = G.add("mix")
+    G.connect(ga, out_mix)
+    G.connect(gb, out_mix)
+    out = G.add("out")
+    G.connect(out_mix, out)
+
+    processors = {"gain": StereoGain()}
+    G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
+    plan = prepare_render(G_t)
+    params = create_empty_parameters(processors, G, key=jax.random.PRNGKey(3))
+
+    for shape in [(4, 2, 2**9), (3, 4, 2, 2**9)]:
+        x = jax.random.normal(jax.random.PRNGKey(1), shape)
+        out_a, _, buf_a = render_grafx(
+            processors, x, params, plan, buffer_mode="array"
+        )
+        out_s, _, buf_s = render_grafx(
+            processors, x, params, plan, buffer_mode="stages"
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_a), np.asarray(out_s), rtol=1e-6, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(buf_a), np.asarray(buf_s), rtol=1e-6, atol=1e-7
+        )
+
+    # gradients agree across modes
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 2, 2**9))
+
+    def loss(p, mode):
+        o, _, _ = render_grafx(processors, x, p, plan, buffer_mode=mode)
+        return jnp.mean(o**2)
+
+    g_a = jax.grad(lambda p: loss(p, "array"))(params)
+    g_s = jax.grad(lambda p: loss(p, "stages"))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        ),
+        g_a,
+        g_s,
+    )

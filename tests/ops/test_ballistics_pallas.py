@@ -1,0 +1,105 @@
+"""Interpret-mode coverage for the Pallas ballistics kernels.
+
+The pytest suite runs on a forced-CPU mesh, so the compiled TPU path is
+exercised by benchmarks/verify_ballistics_tpu.py on the real chip; here
+the same kernels run under ``pallas_call(interpret=True)`` to gate the
+kernel *logic* (decision recovery from the saved residual, reverse-walk
+carry across tiles/chunks, fused reductions) against the scan reference.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grafx_tpu.ops.ballistics import _forward_scan
+from grafx_tpu.ops.ballistics_tpu import (
+    LANES,
+    backward_fused_pallas_tm,
+    expand_lanes,
+    forward_pallas_tm_d,
+    pad_time_major,
+)
+
+CHUNK = 64  # small chunk so tiny shapes still cross chunk boundaries
+
+
+def _setup(N, L, seed):
+    rng = np.random.RandomState(seed)
+    u = jnp.asarray(np.abs(rng.randn(N, L)).astype(np.float32))
+    zi = jnp.asarray(np.abs(rng.randn(N)).astype(np.float32))
+    at = jnp.asarray(rng.uniform(0.05, 0.9, N).astype(np.float32))
+    rt = jnp.asarray(rng.uniform(0.01, 0.3, N).astype(np.float32))
+    return u, zi, at, rt
+
+
+def _run_fwd(u, zi, at, rt):
+    N, L = u.shape
+    S = -(-N // LANES)
+    ut = pad_time_major(u, CHUNK)
+    yt, dt = forward_pallas_tm_d(
+        ut,
+        expand_lanes(zi, S),
+        expand_lanes(at, S),
+        expand_lanes(rt, S),
+        chunk=CHUNK,
+        interpret=True,
+    )
+    return yt, dt
+
+
+def test_forward_kernel_matches_scan():
+    for N, L in [(3, 200), (5, 64), (130, 96)]:
+        u, zi, at, rt = _setup(N, L, N)
+        yt, dt = _run_fwd(u, zi, at, rt)
+        y = yt[:L, :N].T
+        y_ref = _forward_scan(u, zi, at, rt)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-6
+        )
+        # d = u - y_prev
+        y_prev = jnp.concatenate([zi[:, None], y_ref[:, :-1]], axis=1)
+        np.testing.assert_allclose(
+            np.asarray(dt[:L, :N].T), np.asarray(u - y_prev), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_fused_backward_matches_reference_math():
+    N, L = 4, 200
+    u, zi, at, rt = _setup(N, L, 7)
+    rng = np.random.RandomState(11)
+    g = jnp.asarray(rng.randn(N, L).astype(np.float32))
+
+    yt, dt = _run_fwd(u, zi, at, rt)
+    S = dt.shape[1] // LANES
+    gt = pad_time_major(g, CHUNK)
+    du_t, dat2, drt2, dzi2 = backward_fused_pallas_tm(
+        dt, gt, expand_lanes(at, S), expand_lanes(rt, S),
+        chunk=CHUNK, interpret=True,
+    )
+    du = np.asarray(du_t[:L, :N].T)
+    dat = np.asarray(dat2[::8].reshape(-1)[:N])
+    drt = np.asarray(drt2[::8].reshape(-1)[:N])
+    dzi = np.asarray(dzi2[::8].reshape(-1)[:N])
+
+    # reference adjoint math (same formulas as the scan-path VJP)
+    y = _forward_scan(u, zi, at, rt)
+    y_prev = jnp.concatenate([zi[:, None], y[:, :-1]], axis=1)
+    attack = np.asarray(u > y_prev)
+    c = np.where(attack, np.asarray(at)[:, None], np.asarray(rt)[:, None])
+    gh = np.zeros((N, L), np.float64)
+    g_np = np.asarray(g, np.float64)
+    gh[:, L - 1] = g_np[:, L - 1]
+    for n in range(L - 2, -1, -1):
+        gh[:, n] = g_np[:, n] + (1.0 - c[:, n + 1]) * gh[:, n + 1]
+    d_np = np.asarray(u - y_prev, np.float64)
+    dc = d_np * gh
+    np.testing.assert_allclose(du, c * gh, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        dat, np.where(attack, dc, 0.0).sum(1), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        drt, np.where(attack, 0.0, dc).sum(1), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        dzi, (1.0 - c[:, 0]) * gh[:, 0], rtol=1e-4, atol=1e-5
+    )

@@ -4,8 +4,12 @@ Mirrors the reference's quant tests (reference:
 tests/processors/conftest.py:19-35, utils.py:230-380): render audio
 through each processor at several parameter scales and save waveforms +
 mel-spectrogram difference grids to ``outputs/`` for human inspection.
-Sample WAVs are replaced by synthetic program material (chirp + noise
-bursts + tone stack) since the repo ships no audio.
+Program material: when the reference checkout's sample WAVs are present
+on this machine (/root/reference/tests/samples — the same seven clips
+the reference's quant tier uses, read at test time only, never copied
+into this repo), each processor is additionally rendered over real
+drums/music/speech; otherwise, and always as the base case, a synthetic
+program (chirp + noise bursts + tone stack) is used.
 """
 
 import os
@@ -31,6 +35,37 @@ from utils import random_parameters
 
 SR = 44100
 OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "outputs")
+REF_SAMPLES = "/root/reference/tests/samples"
+
+
+def _real_sample_names():
+    if not os.path.isdir(REF_SAMPLES):
+        return []
+    return ["drums", "music", "speech"]
+
+
+def load_real_sample(name, length=2**16):
+    """Load one of the reference's sample WAVs (read-only fixture),
+    peak-normalized, trimmed/looped to ``length``, as (2, length)."""
+    from scipy.io import wavfile
+
+    sr, x = wavfile.read(os.path.join(REF_SAMPLES, f"{name}.wav"))
+    x = np.asarray(x, np.float32)
+    if x.dtype.kind != "f" or np.abs(x).max() > 2.0:
+        x = x / 32768.0
+    if x.ndim == 1:
+        x = np.stack([x, x], axis=1)
+    x = x.T  # (C, T)
+    if sr != SR:
+        # cheap polyphase-free resample via linear interp (fixture only)
+        t_new = np.arange(int(x.shape[1] * SR / sr)) * (sr / SR)
+        lo = np.clip(t_new.astype(np.int64), 0, x.shape[1] - 2)
+        frac = (t_new - lo).astype(np.float32)
+        x = x[:, lo] * (1 - frac) + x[:, lo + 1] * frac
+    reps = -(-length // x.shape[1])
+    x = np.tile(x, (1, reps))[:, :length]
+    peak = np.abs(x).max() + 1e-9
+    return (0.7 * x / peak).astype(np.float32)
 
 
 def synthetic_program(length=2**16):
@@ -91,19 +126,25 @@ PROCESSORS = {
 
 
 @pytest.mark.quant
+@pytest.mark.parametrize(
+    "material", ["synthetic"] + _real_sample_names()
+)
 @pytest.mark.parametrize("name", sorted(PROCESSORS))
 @pytest.mark.parametrize("std", [0.0, 0.01, 1.0])
-def test_quant_render(name, std):
+def test_quant_render(name, std, material):
     os.makedirs(OUT_DIR, exist_ok=True)
     proc = PROCESSORS[name]()
-    x = jnp.asarray(synthetic_program())[None]
+    if material == "synthetic":
+        x = jnp.asarray(synthetic_program())[None]
+    else:
+        x = jnp.asarray(load_real_sample(material))[None]
     params = random_parameters(proc, 1, jax.random.PRNGKey(0), std=max(std, 1e-9))
     out = proc(x, **params)
     if isinstance(out, tuple):
         out = out[0]
     out = np.asarray(out[0])
     assert np.isfinite(out).all()
-    tag = f"{name}_std{std}"
+    tag = f"{name}_{material}_std{std}"
     save_wav(os.path.join(OUT_DIR, f"{tag}.wav"), out)
     save_spec_diff(
         os.path.join(OUT_DIR, f"{tag}.png"), np.asarray(x[0]), out
