@@ -17,6 +17,8 @@ import os
 import sys
 import tempfile
 
+sys.path.insert(0, ".")
+
 import jax
 import jax.numpy as jnp
 

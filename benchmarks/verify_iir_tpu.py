@@ -1,0 +1,74 @@
+"""On-TPU exactness check for the blocked exact-IIR cascade.
+
+The pytest gates (tests/ops/test_iir.py) run on CPU where matmuls are
+true float32; on TPU the MXU computes float32 contractions as bf16
+passes unless the op requests higher precision.  This script measures
+the actual on-device error of ``biquad_exact`` against a float64 scipy
+oracle, for realistic EQ cascades including near-unit-circle shelving
+poles, and reports dB error (target: <= -60 dB).
+
+Usage: python benchmarks/verify_iir_tpu.py
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import signal as ss
+
+from grafx_tpu.ops.iir import biquad_exact
+
+
+def random_stable_biquads(rng, N, K, r_lo=0.2, r_hi=0.999):
+    r = rng.uniform(r_lo, r_hi, (N, K))
+    th = rng.uniform(0.02, np.pi - 0.02, (N, K))
+    a1 = -2 * r * np.cos(th)
+    a2 = r**2
+    As = np.stack([np.ones_like(a1), a1, a2], -1)
+    Bs = rng.randn(N, K, 3)
+    return Bs.astype(np.float64), As.astype(np.float64)
+
+
+def oracle(x, Bs, As):
+    y = x.astype(np.float64)
+    for n in range(x.shape[0]):
+        yn = y[n]
+        for k in range(Bs.shape[1]):
+            yn = ss.lfilter(Bs[n, k], As[n, k], yn)
+        y[n] = yn
+    return y
+
+
+def db(err, ref):
+    return 10 * np.log10(
+        np.mean(err**2) / (np.mean(ref**2) + 1e-300) + 1e-300
+    )
+
+
+def main():
+    print("backend:", jax.default_backend())
+    rng = np.random.RandomState(0)
+    for name, (N, K, L, r_hi) in {
+        "eq-like  (K=6,  r<=0.95) ": (8, 6, 2**17, 0.95),
+        "eq-like  (K=6,  r<=0.999)": (8, 6, 2**17, 0.999),
+        "geq-like (K=24, r<=0.99) ": (4, 24, 2**17, 0.99),
+    }.items():
+        Bs, As = random_stable_biquads(rng, N, K, r_hi=r_hi)
+        x = rng.randn(N, L)
+        y_ref = oracle(x, Bs, As)
+        y = biquad_exact(
+            jnp.asarray(x, jnp.float32),
+            jnp.asarray(Bs, jnp.float32),
+            jnp.asarray(As, jnp.float32),
+        )
+        y = np.asarray(jax.block_until_ready(y), np.float64)
+        e = db(y - y_ref, y_ref)
+        print(f"{name}: error {e:7.1f} dB  (target <= -60)")
+        sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

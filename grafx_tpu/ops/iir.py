@@ -37,6 +37,12 @@ import jax.numpy as jnp
 
 from grafx_tpu.ops.fftconv import fft_convolve, next_pow2
 
+# All load-bearing contractions of the exact path request HIGHEST
+# precision: TPU MXU float32 einsums otherwise run as single-pass
+# bfloat16 (~3 decimal digits), which would silently break the "exact to
+# float32" contract on hardware while the CPU test gates stay green.
+PREC = jax.lax.Precision.HIGHEST
+
 # ---------------------------------------------------------------------------
 # Frequency-sampling method (FSM)
 # ---------------------------------------------------------------------------
@@ -348,7 +354,7 @@ def _biquad_block_stage_apply(x, kernels, T):
     y_zs = fft_convolve(xb, h[:, None, :], mode="causal", pad_mode="pow2")
 
     # State injected by each block (MXU): t_in[k] = sum_i K_in[:, i] u[k, i]
-    s_in = jnp.einsum("nbt,nst->nbs", xb, K_in)  # (N, NB, 2)
+    s_in = jnp.einsum("nbt,nst->nbs", xb, K_in, precision=PREC)  # (N, NB, 2)
 
     # Propagate states across blocks: t_{k+1} = M t_k + t_in[k], t_0 = 0;
     # scalar-component affine associative scan over the block axis (M is
@@ -385,7 +391,7 @@ def _biquad_block_stage_apply(x, kernels, T):
     )  # (N, NB, 2)
 
     # Initial-state response inside each block (MXU)
-    y_is = jnp.einsum("nbs,nst->nbt", s_enter, K_out)
+    y_is = jnp.einsum("nbs,nst->nbt", s_enter, K_out, precision=PREC)
 
     y = (y_zs + y_is).reshape(N, num_blocks * T)
     return y[:, :L]
@@ -448,7 +454,10 @@ def biquad_exact_build(Bs, As, block_size: int = 128):
             "M": jnp.stack([k_[3] for k_ in ks], 1),
         }
     H, W, V, A = _cascade_kernels_doubling(b, a, T)
-    return {"H": H, "W": W, "V": V, "A": A}
+    cache = {"H": H, "W": W, "V": V, "A": A}
+    if T <= _TOEPLITZ_MAX_T:
+        cache["Toep"] = _causal_toeplitz(H)
+    return cache
 
 
 def biquad_exact_apply(x, cache, block_size: int = 128):
@@ -458,7 +467,10 @@ def biquad_exact_apply(x, cache, block_size: int = 128):
     T = block_size
     if "H" in cache:
         return _biquad_block_cascade_apply(
-            x, (cache["H"], cache["W"], cache["V"], cache["A"]), T
+            x,
+            (cache["H"], cache["W"], cache["V"], cache["A"]),
+            T,
+            toeplitz=cache.get("Toep"),
         )
     y = x
     for k in range(cache["h"].shape[1]):
@@ -567,7 +579,7 @@ def _cascade_kernels_doubling(b, a, T):
         H = tconv_freq(H1f, H2f)
         V1H2 = tconv_freq(V1f, H2f[..., None, :])
         W2c = tconv_freq(H1f[..., None, :], W2rf)[..., ::-1]
-        B = jnp.einsum("ngst,ngrt->ngsr", W2, V1)  # (N, G/2, R2, R1)
+        B = jnp.einsum("ngst,ngrt->ngsr", W2, V1, precision=PREC)  # (N, G/2, R2, R1)
 
         R = V.shape[2]
         zeros = jnp.zeros_like(B)
@@ -590,6 +602,25 @@ def _cascade_kernels_doubling(b, a, T):
     return H_cas, W[:, :S], V[:, :S], A_blk[:, :S, :S]
 
 
+def _causal_toeplitz(h):
+    """``(N, T)`` causal IR -> ``(N, T, T)`` lower-triangular Toeplitz
+    operator ``Toep[n, t, q] = h[n, t - q]`` (zero above the diagonal).
+
+    Lets the per-block zero-state response run as ONE batched MXU matmul
+    (``y_zs = xb @ Toep^T``) instead of an FFT convolution: at block
+    length T=128 that is ~15x fewer FLOPs than the radix/matmul FFTs XLA
+    emits on TPU, in exactly the MXU's favorite shape."""
+    N, T = h.shape
+    idx = jnp.arange(T)[:, None] - jnp.arange(T)[None, :]
+    gathered = h[:, jnp.clip(idx, 0, T - 1)]
+    return jnp.where(idx >= 0, gathered, jnp.zeros_like(gathered))
+
+
+# Toeplitz ZSR memory is N*T^2 floats; beyond this block length fall
+# back to the FFT convolution.
+_TOEPLITZ_MAX_T = 256
+
+
 def _biquad_block_cascade(x, b, a, T):
     """Exact biquad cascade via the single-pass blocked operator.
 
@@ -599,7 +630,7 @@ def _biquad_block_cascade(x, b, a, T):
     return _biquad_block_cascade_apply(x, _cascade_kernels_doubling(b, a, T), T)
 
 
-def _biquad_block_cascade_apply(x, kernels, T):
+def _biquad_block_cascade_apply(x, kernels, T, toeplitz=None):
     """Data path of :func:`_biquad_block_cascade` on prebuilt kernels."""
     H_cas, W, V, A_blk = kernels
     N, L = x.shape
@@ -610,11 +641,18 @@ def _biquad_block_cascade_apply(x, kernels, T):
 
     S = W.shape[1]
 
-    # (1) zero-state response: one causal FFT convolution
-    y_zs = fft_convolve(xb, H_cas[:, None, :], mode="causal", pad_mode="pow2")
+    # (1) zero-state response: one batched MXU matmul against the
+    # causal-Toeplitz operator (see _causal_toeplitz), FFT fallback for
+    # long blocks
+    if toeplitz is None and T <= _TOEPLITZ_MAX_T:
+        toeplitz = _causal_toeplitz(H_cas)
+    if toeplitz is not None:
+        y_zs = jnp.einsum("nbq,ntq->nbt", xb, toeplitz, precision=PREC)
+    else:
+        y_zs = fft_convolve(xb, H_cas[:, None, :], mode="causal", pad_mode="pow2")
 
     # (2) per-block state injection (MXU)
-    s_in = jnp.einsum("nbt,nst->nbs", xb, W)  # (N, NB, S)
+    s_in = jnp.einsum("nbt,nst->nbs", xb, W, precision=PREC)  # (N, NB, S)
 
     # (3) cross-block state propagation.  The transition matrix is the
     # same for every block, so instead of a generic associative scan over
@@ -626,14 +664,14 @@ def _biquad_block_cascade_apply(x, kernels, T):
     shift = 1
     while shift < num_blocks:
         shifted = jnp.pad(s_after, ((0, 0), (shift, 0), (0, 0)))[:, :num_blocks]
-        s_after = s_after + jnp.einsum("nij,nbj->nbi", A_pow, shifted)
-        A_pow = A_pow @ A_pow
+        s_after = s_after + jnp.einsum("nij,nbj->nbi", A_pow, shifted, precision=PREC)
+        A_pow = jnp.einsum("nij,njk->nik", A_pow, A_pow, precision=PREC)
         shift *= 2
     zeros = jnp.zeros_like(s_after[:, :1])
     s_enter = jnp.concatenate([zeros, s_after[:, :-1]], axis=1)  # (N, NB, S)
 
     # (4) initial-state responses (MXU)
-    y_is = jnp.einsum("nbs,nst->nbt", s_enter, V)
+    y_is = jnp.einsum("nbs,nst->nbt", s_enter, V, precision=PREC)
 
     y = (y_zs + y_is).reshape(N, num_blocks * T)
     return y[:, :L]
@@ -674,7 +712,7 @@ def onepole_exact(x, alpha, block_size: int = 1024):
     # State = y at the end of the previous block: y carried across blocks.
     # s_in[k] = sum_i alpha^{T-1-i} (1-alpha) u[k, i]
     F = h[:, ::-1]  # (N, T)
-    s_in = jnp.einsum("nbt,nt->nb", xb, F)
+    s_in = jnp.einsum("nbt,nt->nb", xb, F, precision=PREC)
 
     m = jnp.broadcast_to(alpha_T[:, None], (N, num_blocks))
 

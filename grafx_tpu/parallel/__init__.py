@@ -44,6 +44,36 @@ def node_sharding(mesh, axis_name="batch"):
     return NamedSharding(mesh, P(axis_name))
 
 
+def make_mesh_2d(n_data, n_node, devices=None):
+    """A 2-D ``(data, node)`` mesh: graph batches shard over ``data``
+    while each stage's node batch additionally splits over ``node`` —
+    combined data + tensor(graph) parallelism."""
+    if devices is None:
+        devices = jax.devices()[: n_data * n_node]
+    return Mesh(np.array(devices).reshape(n_data, n_node), ("data", "node"))
+
+
+def batch_node_sharding(mesh):
+    """Sharding for ``(B, |V_0|, C, L)`` on a 2-D mesh: ``B`` over the
+    ``data`` axis and the node axis over ``node``."""
+    return NamedSharding(mesh, P("data", "node"))
+
+
+def time_sharding(mesh, axis_name="batch", ndim=3):
+    """Shard the trailing time axis (sequence parallelism).
+
+    Elementwise/nonlinear paths stay fully local; FFT convolutions and
+    sequential recursions need the whole sequence, so XLA inserts
+    all-gathers around them (and Pallas kernels are opaque to GSPMD and
+    get gathered inputs).  Only worth it for extremely long signals on
+    graphs dominated by elementwise work — prefer
+    :func:`batch_sharding` / :func:`node_sharding` otherwise
+    (SURVEY.md §5: shard over the node-batch axis, not time).
+    """
+    spec = [None] * (ndim - 1) + [axis_name]
+    return NamedSharding(mesh, P(*spec))
+
+
 def shard_render_step(render_fn, mesh, axis_name="batch"):
     """Wrap a batched render/loss step so inputs shard over the mesh data
     axis and parameters replicate.
@@ -65,9 +95,12 @@ __all__ = [
     "Mesh",
     "NamedSharding",
     "P",
+    "batch_node_sharding",
     "batch_sharding",
     "make_mesh",
+    "make_mesh_2d",
     "node_sharding",
     "replicated",
     "shard_render_step",
+    "time_sharding",
 ]

@@ -140,3 +140,62 @@ def test_node_parallel_render_matches_single_device(setup):
     np.testing.assert_allclose(
         np.asarray(out_sharded), np.asarray(out_single), rtol=1e-5, atol=1e-6
     )
+
+
+def test_2d_mesh_dp_tp_render_matches_single_device(setup):
+    """(data x node) 2-D mesh: graph batch shards over data, node axis
+    over node; outputs must match the unsharded render."""
+    from grafx_tpu.parallel import batch_node_sharding, make_mesh_2d
+
+    # 4 chains so the node axis divides the mesh's node dimension
+    config = NodeConfigs(["gain"])
+    G = GRAFX(config=config)
+    ends = [G.add_serial_chain(["in", "gain"])[1] for _ in range(4)]
+    mix = G.add("mix")
+    for e in ends:
+        G.connect(e, mix)
+    G.connect(mix, G.add("out"))
+    processors = {"gain": StereoGain()}
+    G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
+    plan = prepare_render(G_t)
+    params = create_empty_parameters(processors, G)
+    render = make_render_fn(processors, plan, jit=False)
+
+    mesh2 = make_mesh_2d(4, 2)
+    B = 8
+    x = jax.random.normal(jax.random.PRNGKey(9), (B, 4, 2, 2**10))
+    x_sharded = jax.device_put(x, batch_node_sharding(mesh2))
+    params_rep = jax.device_put(
+        params, jax.sharding.NamedSharding(mesh2, jax.sharding.PartitionSpec())
+    )
+
+    def fwd(x, p):
+        out, _, _ = render(x, p)
+        return out
+
+    out_sharded = jax.jit(fwd)(x_sharded, params_rep)
+    out_single = jax.jit(fwd)(x, params)
+    np.testing.assert_allclose(
+        np.asarray(out_sharded), np.asarray(out_single), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_time_sharding_render_matches_single_device(setup):
+    """Sequence-parallel layout compiles and matches (XLA inserts
+    gathers around the FFT/recursion ops; elementwise stays local)."""
+    from grafx_tpu.parallel import time_sharding
+
+    render, params = setup
+    mesh = make_mesh(8)
+    x = jax.random.normal(jax.random.PRNGKey(10), (3, 2, 2**10))
+    x_sharded = jax.device_put(x, time_sharding(mesh, ndim=3))
+
+    def fwd(x, p):
+        out, _, _ = render(x, p)
+        return out
+
+    out_sharded = jax.jit(fwd)(x_sharded, params)
+    out_single = jax.jit(fwd)(x, params)
+    np.testing.assert_allclose(
+        np.asarray(out_sharded), np.asarray(out_single), rtol=1e-5, atol=1e-6
+    )
