@@ -349,9 +349,16 @@ def _biquad_block_stage_apply(x, kernels, T):
     xp = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
     xb = xp.reshape(N, num_blocks, T)
 
-    # Zero-state response inside each block: causal FFT conv, exact since
-    # the filter history within a block never exceeds T samples.
-    y_zs = fft_convolve(xb, h[:, None, :], mode="causal", pad_mode="pow2")
+    # Zero-state response inside each block: exact since the filter
+    # history within a block never exceeds T samples.  One batched MXU
+    # matmul against the causal-Toeplitz operator of h for short blocks,
+    # causal FFT conv beyond that (see _causal_toeplitz).
+    if T <= _TOEPLITZ_MAX_T:
+        y_zs = jnp.einsum(
+            "nbq,ntq->nbt", xb, _causal_toeplitz(h), precision=PREC
+        )
+    else:
+        y_zs = fft_convolve(xb, h[:, None, :], mode="causal", pad_mode="pow2")
 
     # State injected by each block (MXU): t_in[k] = sum_i K_in[:, i] u[k, i]
     s_in = jnp.einsum("nbt,nst->nbs", xb, K_in, precision=PREC)  # (N, NB, 2)
