@@ -42,7 +42,9 @@ from grafx_tpu.utils import create_empty_parameters
 SR = 44100
 AUDIO_LEN = 2**17
 NUM_CHAINS = 17
-BATCH = 4  # graph-batch: production serving renders several mixes per step
+import os
+
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))  # graph-batch: production serving renders several mixes per step
 # Same-machine GRAFX-style torch-CPU proxy on this exact graph
 # (benchmarks/torch_proxy.py, measured 2026-08-16: 3677 ms/step).
 TORCH_CPU_PROXY_BASELINE = 13.74  # audio-sec/sec

@@ -95,6 +95,68 @@ def microbench(N, L, iters=30):
     ballistics.set_backend(None)
 
 
+def run_fused_gain_case(N, L, seed, kind):
+    """ballistics_gain_core (fused Pallas) vs the composed scan+knee
+    reference, values and all 7 gradients, on-device."""
+    from grafx_tpu.ops.ballistics import ballistics_gain_core
+
+    rng = np.random.RandomState(seed)
+    u = jnp.asarray(np.abs(rng.randn(N, L)).astype(np.float32))
+    zi = jnp.asarray(np.abs(rng.randn(N)).astype(np.float32))
+    at = jnp.asarray(rng.uniform(0.05, 0.9, N).astype(np.float32))
+    rt = jnp.asarray(rng.uniform(0.001, 0.3, N).astype(np.float32))
+    th = jnp.asarray(rng.uniform(-3.0, 0.0, N).astype(np.float32))
+    cf = jnp.asarray(
+        rng.uniform(-0.9, -0.2, N).astype(np.float32)
+        if kind == "compressor"
+        else rng.uniform(0.5, 3.0, N).astype(np.float32)
+    )
+    hk = jnp.asarray(rng.uniform(0.1, 1.0, N).astype(np.float32))
+    w = jnp.asarray(rng.randn(N, L).astype(np.float32))
+
+    def composed(u, zi, at, rt, th, cf, hk):
+        from grafx_tpu.ops.ballistics import _forward_scan
+
+        y = _forward_scan(u, zi, at, rt)
+        x = jnp.log(y + 1e-5) - th[:, None]
+        hk_ = hk[:, None]
+        if kind == "compressor":
+            mid = jnp.square(x + hk_) / (4.0 * hk_)
+            f = jnp.where(x > hk_, x, jnp.where(x < -hk_, 0.0, mid))
+        else:
+            mid = -jnp.square(x - hk_) / (4.0 * hk_)
+            f = jnp.where(x < -hk_, x, jnp.where(x > hk_, 0.0, mid))
+        return jnp.exp(cf[:, None] * f)
+
+    args = (u, zi, at, rt, th, cf, hk)
+
+    def loss_fused(*a):
+        return jnp.sum(ballistics_gain_core(*a, kind) * w)
+
+    def loss_ref(*a):
+        return jnp.sum(composed(*a) * w)
+
+    g_f = jax.jit(jax.grad(loss_fused, argnums=tuple(range(7))))(*args)
+    v_f = jax.jit(lambda *a: ballistics_gain_core(*a, kind))(*args)
+    g_r = jax.jit(jax.grad(loss_ref, argnums=tuple(range(7))))(*args)
+    v_r = jax.jit(composed)(*args)
+    jax.block_until_ready((g_f, v_f, g_r, v_r))
+
+    def rel(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return np.abs(a - b).max() / (np.abs(b).max() + 1e-30)
+
+    errs = {"gain": rel(v_f, v_r)}
+    for n, a, b in zip(["du", "dzi", "dat", "drt", "dth", "dcf", "dhk"], g_f, g_r):
+        errs[n] = rel(a, b)
+    print(
+        f"fused-{kind:10s} N={N:3d} L={L:7d}  "
+        + "  ".join(f"{k}={v:.1e}" for k, v in errs.items())
+    )
+    for k, v in errs.items():
+        assert v < 5e-3, f"fused {kind} {k} rel err {v} (N={N}, L={L})"
+
+
 if __name__ == "__main__":
     print("backend:", jax.default_backend())
     print("-- parity (pallas vs scan, on-device) --")
@@ -102,6 +164,9 @@ if __name__ == "__main__":
     run_case(17, 2**17, 1)
     run_case(68, 2**17, 2)
     run_case(130, 5000, 3)  # > 128 lanes -> two lane groups
+    print("-- fused gain (pallas vs composed scan+knee, on-device) --")
+    run_fused_gain_case(17, 2**17, 5, "compressor")
+    run_fused_gain_case(68, 2**17, 6, "noisegate")
     print("-- microbenchmark (pallas) --")
     for N in (17, 68):
         microbench(N, 2**17)

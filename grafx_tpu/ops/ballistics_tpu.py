@@ -380,3 +380,229 @@ def forward_pallas(u, zi, at, rt, chunk: int = 2048):
         chunk=chunk,
     )
     return y[:L, :N].T
+
+
+# ---------------------------------------------------------------------------
+# Fused compressor/noise-gate gain kernels: ballistics recursion + quadratic
+# knee epilogue in one Pallas call (forward), and the complete adjoint —
+# knee derivatives, parameter reductions, reverse recursion — in another.
+# ---------------------------------------------------------------------------
+#
+# gain = exp(cf * f(log(y + 1e-5) - th)) where y is the smoothed energy and
+# f is the quadratic-knee transfer (reference: src/grafx/processors/
+# dynamics.py:455-475 for the compressor, :675-699 for the gate):
+#   compressor (cf = 1/ratio - 1):  f(x) = x          for x >  hk
+#                                          (x+hk)^2/(4hk) for |x| <= hk
+#                                          0           for x < -hk
+#   noisegate  (cf = ratio - 1):    f(x) = x          for x < -hk
+#                                          -(x-hk)^2/(4hk) for |x| <= hk
+#                                          0           for x >  hk
+
+_EPS = 1e-5
+
+
+def _knee_f(x, hk, kind):
+    if kind == "compressor":
+        mid = jnp.square(x + hk) / (4.0 * hk)
+        return jnp.where(x > hk, x, jnp.where(x < -hk, 0.0, mid))
+    mid = -jnp.square(x - hk) / (4.0 * hk)
+    return jnp.where(x < -hk, x, jnp.where(x > hk, 0.0, mid))
+
+
+def _knee_fp(x, hk, kind):
+    """df/dx."""
+    if kind == "compressor":
+        mid = (x + hk) / (2.0 * hk)
+        return jnp.where(x > hk, 1.0, jnp.where(x < -hk, 0.0, mid))
+    mid = -(x - hk) / (2.0 * hk)
+    return jnp.where(x < -hk, 1.0, jnp.where(x > hk, 0.0, mid))
+
+
+def _knee_fhk(x, hk, kind):
+    """df/dhk (nonzero only in the knee region)."""
+    inside = (x >= -hk) & (x <= hk)
+    if kind == "compressor":
+        mid = (x + hk) * (hk - x) / (4.0 * hk * hk)
+    else:
+        mid = (x - hk) * (x + hk) / (4.0 * hk * hk)
+    return jnp.where(inside, mid, 0.0)
+
+
+def _fwd_gain_kernel(
+    zi_ref, at_ref, rt_ref, th_ref, cf_ref, hk_ref, u_ref,
+    gain_ref, y_ref, d_ref, state, *, chunk, kind,
+):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        state[:] = zi_ref[0:1, :]
+
+    at = at_ref[0:1, :]
+    rt = rt_ref[0:1, :]
+    th = th_ref[0:1, :]
+    cf = cf_ref[0:1, :]
+    hk = hk_ref[0:1, :]
+    oma = 1.0 - at
+    omr = 1.0 - rt
+
+    def body(j, st):
+        tile = u_ref[pl.ds(j * TILE, TILE), :]
+        au = at * tile
+        ru = rt * tile
+        rows = []
+        drows = []
+        for k in range(TILE):
+            row = tile[k : k + 1, :]
+            drows.append(row - st)
+            st_a = oma * st + au[k : k + 1, :]
+            st_r = omr * st + ru[k : k + 1, :]
+            st = jnp.where(row > st, st_a, st_r)
+            rows.append(st)
+        y_tile = jnp.concatenate(rows, axis=0)
+        # knee epilogue: vectorized over the whole tile, off the chain
+        x = jnp.log(y_tile + _EPS) - th
+        gain = jnp.exp(cf * _knee_f(x, hk, kind))
+        y_ref[pl.ds(j * TILE, TILE), :] = y_tile
+        d_ref[pl.ds(j * TILE, TILE), :] = jnp.concatenate(drows, axis=0)
+        gain_ref[pl.ds(j * TILE, TILE), :] = gain
+        return st
+
+    st = jax.lax.fori_loop(0, chunk // TILE, body, state[:])
+    state[:] = st
+
+
+def _bwd_gain_kernel(
+    at_ref, rt_ref, th_ref, cf_ref, hk_ref, d_ref, y_ref, gg_ref,
+    du_ref, dat_ref, drt_ref, dzi_ref, dth_ref, dcf_ref, dhk_ref,
+    gh_s, omc_s, aat_s, art_s, ath_s, acf_s, ahk_s, *, chunk, kind,
+):
+    """Adjoint of :func:`_fwd_gain_kernel` in one pass.
+
+    Per tile (vectorized): recompute the knee quantities from the saved
+    ``y``, turn the gain cotangent ``gg`` into the recursion's output
+    cotangent ``g = gg * gain * cf * f'(x) / (y + eps)`` and accumulate
+    the knee parameter gradients; then walk the tile's rows back-to-front
+    through the reverse recursion exactly like ``_bwd_fused_kernel``.
+    """
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        for ref in (gh_s, omc_s, aat_s, art_s, ath_s, acf_s, ahk_s):
+            ref[:] = jnp.zeros_like(ref)
+
+    at = at_ref[0:1, :]
+    rt = rt_ref[0:1, :]
+    th = th_ref[0:1, :]
+    cf = cf_ref[0:1, :]
+    hk = hk_ref[0:1, :]
+
+    def body(j, carry):
+        gh, omc, aat, art, ath, acf, ahk = carry
+        base_i = chunk - (j + 1) * TILE
+        d_tile = d_ref[pl.ds(base_i, TILE), :]
+        y_tile = y_ref[pl.ds(base_i, TILE), :]
+        gg_tile = gg_ref[pl.ds(base_i, TILE), :]
+
+        x = jnp.log(y_tile + _EPS) - th
+        f = _knee_f(x, hk, kind)
+        fp = _knee_fp(x, hk, kind)
+        base = gg_tile * jnp.exp(cf * f)  # gg * gain
+        g_tile = base * cf * fp / (y_tile + _EPS)
+        ath = ath + jnp.sum(-base * cf * fp, axis=0, keepdims=True)
+        acf = acf + jnp.sum(base * f, axis=0, keepdims=True)
+        ahk = ahk + jnp.sum(
+            base * cf * _knee_fhk(x, hk, kind), axis=0, keepdims=True
+        )
+
+        att_tile = d_tile > 0
+        ct_tile = jnp.where(att_tile, at, rt)
+        du_rows = []
+        dc_rows = []
+        for k in range(TILE - 1, -1, -1):
+            gh = g_tile[k : k + 1, :] + omc * gh
+            omc = 1.0 - ct_tile[k : k + 1, :]
+            dc_rows.append(d_tile[k : k + 1, :] * gh)
+            du_rows.append(ct_tile[k : k + 1, :] * gh)
+        du_ref[pl.ds(base_i, TILE), :] = jnp.concatenate(du_rows[::-1], axis=0)
+        dc = jnp.concatenate(dc_rows[::-1], axis=0)
+        aat = aat + jnp.sum(jnp.where(att_tile, dc, 0.0), axis=0, keepdims=True)
+        art = art + jnp.sum(jnp.where(att_tile, 0.0, dc), axis=0, keepdims=True)
+        return gh, omc, aat, art, ath, acf, ahk
+
+    gh, omc, aat, art, ath, acf, ahk = jax.lax.fori_loop(
+        0, chunk // TILE, body,
+        (gh_s[:], omc_s[:], aat_s[:], art_s[:], ath_s[:], acf_s[:], ahk_s[:]),
+    )
+    gh_s[:] = gh
+    omc_s[:] = omc
+    aat_s[:] = aat
+    art_s[:] = art
+    ath_s[:] = ath
+    acf_s[:] = acf
+    ahk_s[:] = ahk
+    dat_ref[:] = jnp.broadcast_to(aat, dat_ref.shape)
+    drt_ref[:] = jnp.broadcast_to(art, drt_ref.shape)
+    dzi_ref[:] = jnp.broadcast_to(omc * gh, dzi_ref.shape)
+    dth_ref[:] = jnp.broadcast_to(ath, dth_ref.shape)
+    dcf_ref[:] = jnp.broadcast_to(acf, dcf_ref.shape)
+    dhk_ref[:] = jnp.broadcast_to(ahk, dhk_ref.shape)
+
+
+def forward_gain_pallas_tm(
+    ut, zi2, at2, rt2, th2, cf2, hk2, chunk: int = 2048,
+    kind: str = "compressor", interpret: bool = False,
+):
+    """Fused smoother + knee gain forward on the padded time-major layout.
+
+    Returns ``(gain_t, y_t, d_t)``; ``y_t``/``d_t`` are the backward's
+    residuals.
+    """
+    Lp, Np = ut.shape
+    S = Np // LANES
+    grid = (S, Lp // chunk)
+    lane_spec = pl.BlockSpec(
+        (8, LANES), lambda s, i: (s, 0), memory_space=pltpu.VMEM
+    )
+    data_spec = pl.BlockSpec(
+        (chunk, LANES), lambda s, i: (i, s), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_gain_kernel, chunk=chunk, kind=kind),
+        grid=grid,
+        in_specs=[lane_spec] * 6 + [data_spec],
+        out_specs=(data_spec, data_spec, data_spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((Lp, Np), ut.dtype) for _ in range(3)
+        ),
+        scratch_shapes=[pltpu.VMEM((1, LANES), ut.dtype)],
+        interpret=interpret,
+    )(zi2, at2, rt2, th2, cf2, hk2, ut)
+
+
+def backward_gain_pallas_tm(
+    dt, yt, ggt, at2, rt2, th2, cf2, hk2, chunk: int = 2048,
+    kind: str = "compressor", interpret: bool = False,
+):
+    """Fused adjoint: returns ``(du_t, dat, drt, dzi, dth, dcf, dhk)``
+    with the small outputs ``(8*S, LANES)`` broadcast rows (take
+    ``[::8]``)."""
+    Lp, Np = dt.shape
+    S = Np // LANES
+    grid = (S, Lp // chunk)
+    rev_spec = pl.BlockSpec(
+        (chunk, LANES),
+        lambda s, i: (pl.num_programs(1) - 1 - i, s),
+        memory_space=pltpu.VMEM,
+    )
+    lane_spec = pl.BlockSpec(
+        (8, LANES), lambda s, i: (s, 0), memory_space=pltpu.VMEM
+    )
+    small = jax.ShapeDtypeStruct((S * 8, LANES), dt.dtype)
+    return pl.pallas_call(
+        functools.partial(_bwd_gain_kernel, chunk=chunk, kind=kind),
+        grid=grid,
+        in_specs=[lane_spec] * 5 + [rev_spec] * 3,
+        out_specs=(rev_spec,) + (lane_spec,) * 6,
+        out_shape=(jax.ShapeDtypeStruct((Lp, Np), dt.dtype),) + (small,) * 6,
+        scratch_shapes=[pltpu.VMEM((1, LANES), dt.dtype)] * 7,
+        interpret=interpret,
+    )(at2, rt2, th2, cf2, hk2, dt, yt, ggt)

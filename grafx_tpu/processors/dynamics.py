@@ -10,6 +10,7 @@ ballistics smoothing recursion uses the TPU kernel in
 import jax
 import jax.numpy as jnp
 
+from grafx_tpu.ops.ballistics import ballistics_gain_core, fused_gain_available
 from grafx_tpu.processors.core.envelope import Ballistics, TruncatedOnePoleIIRFilter
 
 
@@ -31,7 +32,16 @@ def _make_smoother(kind, iir_len, **backend_kwargs):
 
 class Compressor:
     """Feed-forward compressor with selectable energy/gain smoothing and
-    knee shape (reference: dynamics.py:213-489)."""
+    knee shape (reference: dynamics.py:213-489).
+
+    On TPU, the common configuration (ballistics energy smoothing, no
+    gain smoothing, quadratic knee) runs as ONE fused Pallas op
+    (:func:`grafx_tpu.ops.ballistics.ballistics_gain_core`): recursion,
+    knee, and the full adjoint live in the kernels.  Other
+    configurations use the composed path; outputs are identical.
+    """
+
+    _fused_kind = "compressor"
 
     def __init__(
         self,
@@ -67,6 +77,29 @@ class Compressor:
         """Compress ``(N, C, L)`` signals; see ``parameter_size`` for the
         per-node parameters."""
         energy = jnp.mean(jnp.square(input_signals), axis=-2)
+        if (
+            self.knee == "quadratic"
+            and isinstance(self.energy_smoother_module, Ballistics)
+            and self.gain_smoother is None
+            and fused_gain_available()
+        ):
+            ts = jax.nn.sigmoid(z_alpha_pre)
+            ratio = 1.0 + jnp.exp(log_ratio[..., 0])
+            if self._fused_kind == "compressor":
+                cf = 1.0 / ratio - 1.0
+            else:
+                cf = ratio - 1.0
+            gain = ballistics_gain_core(
+                energy,
+                jnp.ones(energy.shape[0], dtype=energy.dtype),
+                ts[..., 0],
+                ts[..., 1],
+                log_threshold[..., 0] - 6.0,
+                cf,
+                jnp.exp(log_knee[..., 0]) / 2.0,
+                self._fused_kind,
+            )
+            return gain[:, None, :] * input_signals
         if self.energy_smoother_module is not None:
             energy = self.energy_smoother_module(energy, z_alpha=z_alpha_pre)
         log_energy = jnp.log(energy + 1e-5)
@@ -153,6 +186,8 @@ class Compressor:
 class NoiseGate(Compressor):
     """Feed-forward noise gate: the below-threshold mirror of
     :class:`Compressor` (reference: dynamics.py:492-721)."""
+
+    _fused_kind = "noisegate"
 
     @staticmethod
     def gain_hard_knee(log_energy, log_threshold, log_ratio, _):

@@ -8,6 +8,7 @@ carry across tiles/chunks, fused reductions) against the scan reference.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -103,3 +104,101 @@ def test_fused_backward_matches_reference_math():
     np.testing.assert_allclose(
         dzi, (1.0 - c[:, 0]) * gh[:, 0], rtol=1e-4, atol=1e-5
     )
+
+
+def _compose_gain_reference(u, zi, at, rt, th, cf, hk, kind):
+    """Differentiable jnp composition the fused kernel must match."""
+    y = _forward_scan(u, zi, at, rt)
+    x = jnp.log(y + 1e-5) - th[:, None]
+    hk_ = hk[:, None]
+    if kind == "compressor":
+        mid = jnp.square(x + hk_) / (4.0 * hk_)
+        f = jnp.where(x > hk_, x, jnp.where(x < -hk_, 0.0, mid))
+    else:
+        mid = -jnp.square(x - hk_) / (4.0 * hk_)
+        f = jnp.where(x < -hk_, x, jnp.where(x > hk_, 0.0, mid))
+    return jnp.exp(cf[:, None] * f)
+
+
+def _gain_setup(N, L, seed, kind):
+    rng = np.random.RandomState(seed)
+    u = jnp.asarray(np.abs(rng.randn(N, L)).astype(np.float32))
+    zi = jnp.asarray(np.abs(rng.randn(N)).astype(np.float32))
+    at = jnp.asarray(rng.uniform(0.05, 0.9, N).astype(np.float32))
+    rt = jnp.asarray(rng.uniform(0.01, 0.3, N).astype(np.float32))
+    th = jnp.asarray(rng.uniform(-3.0, 0.0, N).astype(np.float32))
+    if kind == "compressor":
+        cf = jnp.asarray(rng.uniform(-0.9, -0.2, N).astype(np.float32))
+    else:
+        cf = jnp.asarray(rng.uniform(0.5, 3.0, N).astype(np.float32))
+    hk = jnp.asarray(rng.uniform(0.1, 1.0, N).astype(np.float32))
+    return u, zi, at, rt, th, cf, hk
+
+
+@pytest.mark.parametrize("kind", ["compressor", "noisegate"])
+def test_fused_gain_forward_matches_composition(kind):
+    from grafx_tpu.ops.ballistics_tpu import forward_gain_pallas_tm
+
+    N, L = 5, 192
+    u, zi, at, rt, th, cf, hk = _gain_setup(N, L, 3, kind)
+    S = -(-N // LANES)
+    gain_t, yt, dt = forward_gain_pallas_tm(
+        pad_time_major(u, CHUNK),
+        expand_lanes(zi, S), expand_lanes(at, S), expand_lanes(rt, S),
+        expand_lanes(th, S), expand_lanes(cf, S), expand_lanes(hk, S),
+        chunk=CHUNK, kind=kind, interpret=True,
+    )
+    gain = gain_t[:L, :N].T
+    ref = _compose_gain_reference(u, zi, at, rt, th, cf, hk, kind)
+    np.testing.assert_allclose(
+        np.asarray(gain), np.asarray(ref), rtol=2e-5, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("kind", ["compressor", "noisegate"])
+def test_fused_gain_backward_matches_autodiff(kind):
+    from grafx_tpu.ops.ballistics_tpu import (
+        backward_gain_pallas_tm,
+        forward_gain_pallas_tm,
+    )
+
+    N, L = 4, 192
+    u, zi, at, rt, th, cf, hk = _gain_setup(N, L, 11, kind)
+    rng = np.random.RandomState(13)
+    gg = jnp.asarray(rng.randn(N, L).astype(np.float32))
+
+    S = -(-N // LANES)
+    lanes = lambda v: expand_lanes(v, S)
+    _, yt, dt = forward_gain_pallas_tm(
+        pad_time_major(u, CHUNK), lanes(zi), lanes(at), lanes(rt),
+        lanes(th), lanes(cf), lanes(hk),
+        chunk=CHUNK, kind=kind, interpret=True,
+    )
+    outs = backward_gain_pallas_tm(
+        dt, yt, pad_time_major(gg, CHUNK),
+        lanes(at), lanes(rt), lanes(th), lanes(cf), lanes(hk),
+        chunk=CHUNK, kind=kind, interpret=True,
+    )
+    du_t, dat2, drt2, dzi2, dth2, dcf2, dhk2 = outs
+    got = {
+        "du": np.asarray(du_t[:L, :N].T),
+        "dat": np.asarray(dat2[::8].reshape(-1)[:N]),
+        "drt": np.asarray(drt2[::8].reshape(-1)[:N]),
+        "dzi": np.asarray(dzi2[::8].reshape(-1)[:N]),
+        "dth": np.asarray(dth2[::8].reshape(-1)[:N]),
+        "dcf": np.asarray(dcf2[::8].reshape(-1)[:N]),
+        "dhk": np.asarray(dhk2[::8].reshape(-1)[:N]),
+    }
+
+    def loss(u, zi, at, rt, th, cf, hk):
+        return jnp.sum(
+            _compose_gain_reference(u, zi, at, rt, th, cf, hk, kind) * gg
+        )
+
+    grads = jax.grad(loss, argnums=tuple(range(7)))(u, zi, at, rt, th, cf, hk)
+    names = ["du", "dzi", "dat", "drt", "dth", "dcf", "dhk"]
+    for name, ref in zip(names, grads):
+        np.testing.assert_allclose(
+            got[name], np.asarray(ref), rtol=2e-4, atol=2e-5,
+            err_msg=f"{kind} {name}",
+        )
