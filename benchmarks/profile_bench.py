@@ -83,9 +83,14 @@ def summarize(log_dir, top=25):
 
     per_op = collections.Counter()
     per_cat = collections.Counter()
+    per_src = collections.Counter()
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        # only the "XLA Ops" lane (tid 3 by convention) carries leaf ops;
+        # other lanes (Steps, Modules) double-count
+        if "args" not in e or "device_duration_ps" not in e.get("args", {}):
             continue
         name = e.get("name", "")
         if name.startswith("$") or name in ("", "unknown"):
@@ -93,6 +98,7 @@ def summarize(log_dir, top=25):
         dur = e.get("dur", 0) / 1e6  # us -> s
         per_op[name] += dur
         per_cat[categorize(name)] += dur
+        per_src[e["args"].get("source", "?")] += dur
         total += dur
 
     print(f"trace: {path}")
@@ -103,6 +109,9 @@ def summarize(log_dir, top=25):
     print(f"\n-- top {top} ops --")
     for name, t in per_op.most_common(top):
         print(f"{t * 1e3:9.2f} ms  {name[:110]}")
+    print(f"\n-- top {top} source lines --")
+    for srcline, t in per_src.most_common(top):
+        print(f"{t * 1e3:9.2f} ms  {srcline[:110]}")
     return per_cat, per_op
 
 

@@ -637,6 +637,62 @@ def _biquad_block_cascade(x, b, a, T):
     return _biquad_block_cascade_apply(x, _cascade_kernels_doubling(b, a, T), T)
 
 
+def _doubling_apply(v, A, transpose):
+    """Prefix-doubling solve of ``out[k] = v[k] + A out[k-1]`` (or the
+    time-reversed transposed recurrence when ``transpose``):
+    ``v[k] += A^(2^l) v[k -+ 2^l]`` with log-depth matrix squaring."""
+    num_blocks = v.shape[1]
+    out = v
+    P = A
+    shift = 1
+    while shift < num_blocks:
+        if transpose:
+            shifted = jnp.pad(out, ((0, 0), (0, shift), (0, 0)))[:, shift:]
+            out = out + jnp.einsum("nji,nbj->nbi", P, shifted, precision=PREC)
+        else:
+            shifted = jnp.pad(out, ((0, 0), (shift, 0), (0, 0)))[:, :num_blocks]
+            out = out + jnp.einsum("nij,nbj->nbi", P, shifted, precision=PREC)
+        P = jnp.einsum("nij,njk->nik", P, P, precision=PREC)
+        shift *= 2
+    return out
+
+
+@jax.custom_vjp
+def _propagate_states(s_in, A):
+    """Cross-block state propagation ``s[k] = A s[k-1] + s_in[k]``
+    (``s[-1] = 0``) for a constant per-item transition ``A``.
+
+    The transition matrix is the same for every block, so instead of a
+    generic associative scan over (M, v) pairs (which materializes NB
+    copies of M and multiplies them at every level), prefix doubling
+    runs on the vectors alone.  The hand-written adjoint (the classic
+    linear-recurrence result) avoids autodiff transposing through the
+    matrix-squaring chain:
+
+        lambda[k] = g[k] + A^T lambda[k+1]   (reverse doubling)
+        ds_in = lambda,   dA = sum_k lambda[k] s[k-1]^T
+    """
+    return _doubling_apply(s_in, A, transpose=False)
+
+
+def _propagate_states_fwd(s_in, A):
+    s_after = _doubling_apply(s_in, A, transpose=False)
+    return s_after, (s_after, A)
+
+
+def _propagate_states_bwd(res, g):
+    s_after, A = res
+    lam = _doubling_apply(g, A, transpose=True)
+    s_prev = jnp.concatenate(
+        [jnp.zeros_like(s_after[:, :1]), s_after[:, :-1]], axis=1
+    )
+    dA = jnp.einsum("nbi,nbj->nij", lam, s_prev, precision=PREC)
+    return lam, dA
+
+
+_propagate_states.defvjp(_propagate_states_fwd, _propagate_states_bwd)
+
+
 def _biquad_block_cascade_apply(x, kernels, T, toeplitz=None):
     """Data path of :func:`_biquad_block_cascade` on prebuilt kernels."""
     H_cas, W, V, A_blk = kernels
@@ -661,19 +717,9 @@ def _biquad_block_cascade_apply(x, kernels, T, toeplitz=None):
     # (2) per-block state injection (MXU)
     s_in = jnp.einsum("nbt,nst->nbs", xb, W, precision=PREC)  # (N, NB, S)
 
-    # (3) cross-block state propagation.  The transition matrix is the
-    # same for every block, so instead of a generic associative scan over
-    # (M, v) pairs (which materializes NB copies of M and multiplies them
-    # at every level), run prefix doubling on the vectors alone:
-    #   v[k] += A^(2^l) v[k - 2^l],  A^(2^(l+1)) = (A^(2^l))^2.
-    s_after = s_in
-    A_pow = A_blk
-    shift = 1
-    while shift < num_blocks:
-        shifted = jnp.pad(s_after, ((0, 0), (shift, 0), (0, 0)))[:, :num_blocks]
-        s_after = s_after + jnp.einsum("nij,nbj->nbi", A_pow, shifted, precision=PREC)
-        A_pow = jnp.einsum("nij,njk->nik", A_pow, A_pow, precision=PREC)
-        shift *= 2
+    # (3) cross-block state propagation (custom VJP; see
+    # _propagate_states)
+    s_after = _propagate_states(s_in, A_blk)
     zeros = jnp.zeros_like(s_after[:, :1])
     s_enter = jnp.concatenate([zeros, s_after[:, :-1]], axis=1)  # (N, NB, S)
 

@@ -85,12 +85,36 @@ def write_tensor(method, buf, y, access, dim=0):
 def aggregate_tensor(x, aggregation, dim=0):
     """Fan-in aggregation (reference: core.py:101-112): ``sum`` collapses
     all rows into one, ``scatter`` segment-sums rows into stage-node
-    positions (differentiable ``.at[].add``)."""
+    positions.
+
+    TPU note: scatters serialize on TPU, and after
+    ``reorder_for_fast_render`` the scatter indices are almost always
+    sorted — each destination node's fan-in is a contiguous run of
+    rows.  Sorted scatters therefore lower to a handful of static
+    slice-sums (fully fusable); only genuinely unsorted fan-ins fall
+    back to ``.at[].add``."""
     if aggregation.method == "none":
         return x
     if aggregation.method == "sum":
         return jnp.sum(x, axis=dim, keepdims=True)
     if aggregation.method == "scatter":
+        idx = list(aggregation.idx)
+        if all(b >= a for a, b in zip(idx, idx[1:])):
+            # sorted: segment s occupies rows [lo, hi) of x
+            parts = []
+            pos = 0
+            shape = list(x.shape)
+            for seg in range(aggregation.num_segments):
+                lo = pos
+                while pos < len(idx) and idx[pos] == seg:
+                    pos += 1
+                if pos == lo:  # empty segment
+                    shape[dim] = 1
+                    parts.append(jnp.zeros(shape, dtype=x.dtype))
+                else:
+                    sl = (slice(None),) * dim + (slice(lo, pos),)
+                    parts.append(jnp.sum(x[sl], axis=dim, keepdims=True))
+            return jnp.concatenate(parts, axis=dim)
         shape = list(x.shape)
         shape[dim] = aggregation.num_segments
         index = (slice(None),) * dim + (jnp.array(aggregation.idx),)

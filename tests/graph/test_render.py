@@ -483,3 +483,25 @@ def test_buffer_modes_agree():
         g_a,
         g_s,
     )
+
+
+def test_sorted_scatter_aggregation_matches_unsorted_fallback():
+    """Sorted fan-in indices lower to slice-sums; the result must equal
+    the generic .at[].add scatter (incl. an empty middle segment)."""
+    from grafx_tpu.render.core import aggregate_tensor
+    from grafx_tpu.render.prepare import Aggregation
+
+    x = jnp.asarray(np.random.RandomState(0).randn(6, 2, 32).astype(np.float32))
+    sorted_agg = Aggregation(method="scatter", idx=(0, 0, 2, 2, 2, 3), num_segments=4)
+    got = aggregate_tensor(x, sorted_agg, dim=0)
+    ref = (
+        jnp.zeros((4, 2, 32))
+        .at[jnp.array(sorted_agg.idx)]
+        .add(x)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+
+    unsorted = Aggregation(method="scatter", idx=(1, 0, 2, 0, 2, 3), num_segments=4)
+    got_u = aggregate_tensor(x, unsorted, dim=0)
+    ref_u = jnp.zeros((4, 2, 32)).at[jnp.array(unsorted.idx)].add(x)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(ref_u), rtol=1e-6)

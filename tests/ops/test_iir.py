@@ -363,3 +363,43 @@ def test_cascade_gradients_finite():
     g = jax.grad(loss, argnums=(0, 1))(jnp.asarray(Bs), jnp.asarray(As))
     for v in g:
         assert jnp.isfinite(v).all()
+
+
+def test_propagate_states_custom_vjp_matches_autodiff():
+    """The hand-written adjoint of the cross-block propagation must match
+    autodiff through an inline doubling loop (values and both grads)."""
+    import jax
+    import jax.numpy as jnp
+
+    from grafx_tpu.ops.iir import _propagate_states
+
+    rng = np.random.RandomState(0)
+    N, NB, S = 3, 16, 4
+    s_in = jnp.asarray(rng.randn(N, NB, S).astype(np.float32))
+    # contraction-like transitions (|A| < 1)
+    A = jnp.asarray((0.3 * rng.randn(N, S, S)).astype(np.float32))
+    w = jnp.asarray(rng.randn(N, NB, S).astype(np.float32))
+
+    def inline(s_in, A):
+        out, P, shift = s_in, A, 1
+        while shift < NB:
+            shifted = jnp.pad(out, ((0, 0), (shift, 0), (0, 0)))[:, :NB]
+            out = out + jnp.einsum("nij,nbj->nbi", P, shifted)
+            P = jnp.einsum("nij,njk->nik", P, P)
+            shift *= 2
+        return out
+
+    np.testing.assert_allclose(
+        np.asarray(_propagate_states(s_in, A)),
+        np.asarray(inline(s_in, A)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    g_custom = jax.grad(lambda s, a: jnp.sum(_propagate_states(s, a) * w), (0, 1))(
+        s_in, A
+    )
+    g_ref = jax.grad(lambda s, a: jnp.sum(inline(s, a) * w), (0, 1))(s_in, A)
+    for gc, gr, name in zip(g_custom, g_ref, ["ds_in", "dA"]):
+        np.testing.assert_allclose(
+            np.asarray(gc), np.asarray(gr), rtol=2e-4, atol=1e-5, err_msg=name
+        )
