@@ -42,6 +42,11 @@ from grafx_tpu.ops.fftconv import fft_convolve, next_pow2
 # bfloat16 (~3 decimal digits), which would silently break the "exact to
 # float32" contract on hardware while the CPU test gates stay green.
 PREC = jax.lax.Precision.HIGHEST
+# Apply-path contractions tolerate the 3-pass bf16 mode (~f32-equivalent
+# for these well-conditioned, contraction-bounded operands) at half the
+# MXU passes; the build-path kernels stay at HIGHEST.  Gated by the
+# on-device dB suite (benchmarks/verify_iir_tpu.py).
+PREC_APPLY = jax.lax.Precision.HIGH
 
 # ---------------------------------------------------------------------------
 # Frequency-sampling method (FSM)
@@ -355,13 +360,13 @@ def _biquad_block_stage_apply(x, kernels, T):
     # causal FFT conv beyond that (see _causal_toeplitz).
     if T <= _TOEPLITZ_MAX_T:
         y_zs = jnp.einsum(
-            "nbq,ntq->nbt", xb, _causal_toeplitz(h), precision=PREC
+            "nbq,ntq->nbt", xb, _causal_toeplitz(h), precision=PREC_APPLY
         )
     else:
         y_zs = fft_convolve(xb, h[:, None, :], mode="causal", pad_mode="pow2")
 
     # State injected by each block (MXU): t_in[k] = sum_i K_in[:, i] u[k, i]
-    s_in = jnp.einsum("nbt,nst->nbs", xb, K_in, precision=PREC)  # (N, NB, 2)
+    s_in = jnp.einsum("nbt,nst->nbs", xb, K_in, precision=PREC_APPLY)  # (N, NB, 2)
 
     # Propagate states across blocks: t_{k+1} = M t_k + t_in[k], t_0 = 0;
     # scalar-component affine associative scan over the block axis (M is
@@ -398,7 +403,7 @@ def _biquad_block_stage_apply(x, kernels, T):
     )  # (N, NB, 2)
 
     # Initial-state response inside each block (MXU)
-    y_is = jnp.einsum("nbs,nst->nbt", s_enter, K_out, precision=PREC)
+    y_is = jnp.einsum("nbs,nst->nbt", s_enter, K_out, precision=PREC_APPLY)
 
     y = (y_zs + y_is).reshape(N, num_blocks * T)
     return y[:, :L]
@@ -648,10 +653,10 @@ def _doubling_apply(v, A, transpose):
     while shift < num_blocks:
         if transpose:
             shifted = jnp.pad(out, ((0, 0), (0, shift), (0, 0)))[:, shift:]
-            out = out + jnp.einsum("nji,nbj->nbi", P, shifted, precision=PREC)
+            out = out + jnp.einsum("nji,nbj->nbi", P, shifted, precision=PREC_APPLY)
         else:
             shifted = jnp.pad(out, ((0, 0), (shift, 0), (0, 0)))[:, :num_blocks]
-            out = out + jnp.einsum("nij,nbj->nbi", P, shifted, precision=PREC)
+            out = out + jnp.einsum("nij,nbj->nbi", P, shifted, precision=PREC_APPLY)
         P = jnp.einsum("nij,njk->nik", P, P, precision=PREC)
         shift *= 2
     return out
@@ -710,12 +715,12 @@ def _biquad_block_cascade_apply(x, kernels, T, toeplitz=None):
     if toeplitz is None and T <= _TOEPLITZ_MAX_T:
         toeplitz = _causal_toeplitz(H_cas)
     if toeplitz is not None:
-        y_zs = jnp.einsum("nbq,ntq->nbt", xb, toeplitz, precision=PREC)
+        y_zs = jnp.einsum("nbq,ntq->nbt", xb, toeplitz, precision=PREC_APPLY)
     else:
         y_zs = fft_convolve(xb, H_cas[:, None, :], mode="causal", pad_mode="pow2")
 
     # (2) per-block state injection (MXU)
-    s_in = jnp.einsum("nbt,nst->nbs", xb, W, precision=PREC)  # (N, NB, S)
+    s_in = jnp.einsum("nbt,nst->nbs", xb, W, precision=PREC_APPLY)  # (N, NB, S)
 
     # (3) cross-block state propagation (custom VJP; see
     # _propagate_states)
@@ -724,7 +729,7 @@ def _biquad_block_cascade_apply(x, kernels, T, toeplitz=None):
     s_enter = jnp.concatenate([zeros, s_after[:, :-1]], axis=1)  # (N, NB, S)
 
     # (4) initial-state responses (MXU)
-    y_is = jnp.einsum("nbs,nst->nbt", s_enter, V, precision=PREC)
+    y_is = jnp.einsum("nbs,nst->nbt", s_enter, V, precision=PREC_APPLY)
 
     y = (y_zs + y_is).reshape(N, num_blocks * T)
     return y[:, :L]
@@ -765,7 +770,7 @@ def onepole_exact(x, alpha, block_size: int = 1024):
     # State = y at the end of the previous block: y carried across blocks.
     # s_in[k] = sum_i alpha^{T-1-i} (1-alpha) u[k, i]
     F = h[:, ::-1]  # (N, T)
-    s_in = jnp.einsum("nbt,nt->nb", xb, F, precision=PREC)
+    s_in = jnp.einsum("nbt,nt->nb", xb, F, precision=PREC_APPLY)
 
     m = jnp.broadcast_to(alpha_T[:, None], (N, num_blocks))
 
