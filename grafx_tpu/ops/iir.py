@@ -642,24 +642,37 @@ def _biquad_block_cascade(x, b, a, T):
     return _biquad_block_cascade_apply(x, _cascade_kernels_doubling(b, a, T), T)
 
 
-def _doubling_apply(v, A, transpose):
-    """Prefix-doubling solve of ``out[k] = v[k] + A out[k-1]`` (or the
-    time-reversed transposed recurrence when ``transpose``):
-    ``v[k] += A^(2^l) v[k -+ 2^l]`` with log-depth matrix squaring."""
-    num_blocks = v.shape[1]
+def _doubling_flat(v, A, transpose):
+    """Single-level prefix doubling: ``v[k] += A^(2^l) v[k -+ 2^l]``."""
+    num_blocks = v.shape[-2]
     out = v
     P = A
     shift = 1
     while shift < num_blocks:
+        pad_lead = [(0, 0)] * (out.ndim - 2)
         if transpose:
-            shifted = jnp.pad(out, ((0, 0), (0, shift), (0, 0)))[:, shift:]
-            out = out + jnp.einsum("nji,nbj->nbi", P, shifted, precision=PREC_APPLY)
+            shifted = jnp.pad(out, pad_lead + [(0, shift), (0, 0)])[..., shift:, :]
+            out = out + jnp.einsum(
+                "nji,n...bj->n...bi", P, shifted, precision=PREC_APPLY
+            )
         else:
-            shifted = jnp.pad(out, ((0, 0), (shift, 0), (0, 0)))[:, :num_blocks]
-            out = out + jnp.einsum("nij,nbj->nbi", P, shifted, precision=PREC_APPLY)
+            shifted = jnp.pad(out, pad_lead + [(shift, 0), (0, 0)])[
+                ..., :num_blocks, :
+            ]
+            out = out + jnp.einsum(
+                "nij,n...bj->n...bi", P, shifted, precision=PREC_APPLY
+            )
         P = jnp.einsum("nij,njk->nik", P, P, precision=PREC)
         shift *= 2
     return out
+
+
+def _doubling_apply(v, A, transpose):
+    """Linear-recurrence solve ``out[k] = v[k] + A out[k-1]`` (forward)
+    or its time-reversed transpose, via prefix doubling.  (A two-level
+    grouped decomposition was measured slower on TPU — the grouped
+    einsums batch worse than the straight full-size rounds.)"""
+    return _doubling_flat(v, A, transpose)
 
 
 @jax.custom_vjp
