@@ -203,13 +203,13 @@ def ballistics_gain_core(u, zi, at, rt, th, cf, hk, kind="compressor"):
     from grafx_tpu.ops.ballistics_tpu import (
         LANES,
         expand_lanes,
-        forward_gain_pallas_tm,
+        forward_gain_only_pallas_tm,
         pad_time_major,
     )
 
     N, L = u.shape
     S = -(-N // LANES)
-    gain_t, _, _ = forward_gain_pallas_tm(
+    gain_t = forward_gain_only_pallas_tm(
         pad_time_major(u),
         expand_lanes(zi, S),
         expand_lanes(at, S),

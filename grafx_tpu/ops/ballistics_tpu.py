@@ -547,6 +547,72 @@ def _bwd_gain_kernel(
     dhk_ref[:] = jnp.broadcast_to(ahk, dhk_ref.shape)
 
 
+def _fwd_gain_only_kernel(
+    zi_ref, at_ref, rt_ref, th_ref, cf_ref, hk_ref, u_ref,
+    gain_ref, state, *, chunk, kind,
+):
+    """Primal-only variant of :func:`_fwd_gain_kernel`: writes just the
+    gain (Pallas outputs cannot be dead-code-eliminated, so the no-grad
+    path must not emit the y/d residuals)."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        state[:] = zi_ref[0:1, :]
+
+    at = at_ref[0:1, :]
+    rt = rt_ref[0:1, :]
+    th = th_ref[0:1, :]
+    cf = cf_ref[0:1, :]
+    hk = hk_ref[0:1, :]
+    oma = 1.0 - at
+    omr = 1.0 - rt
+
+    def body(j, st):
+        tile = u_ref[pl.ds(j * TILE, TILE), :]
+        au = at * tile
+        ru = rt * tile
+        rows = []
+        for k in range(TILE):
+            row = tile[k : k + 1, :]
+            st_a = oma * st + au[k : k + 1, :]
+            st_r = omr * st + ru[k : k + 1, :]
+            st = jnp.where(row > st, st_a, st_r)
+            rows.append(st)
+        y_tile = jnp.concatenate(rows, axis=0)
+        x = jnp.log(y_tile + _EPS) - th
+        gain_ref[pl.ds(j * TILE, TILE), :] = jnp.exp(cf * _knee_f(x, hk, kind))
+        return st
+
+    st = jax.lax.fori_loop(0, chunk // TILE, body, state[:])
+    state[:] = st
+
+
+def forward_gain_only_pallas_tm(
+    ut, zi2, at2, rt2, th2, cf2, hk2, chunk: int = 2048,
+    kind: str = "compressor", interpret: bool = False,
+):
+    """Fused smoother + knee gain forward, gain output only (the no-grad
+    primal path)."""
+    Lp, Np = ut.shape
+    S = Np // LANES
+    grid = (S, Lp // chunk)
+    lane_spec = pl.BlockSpec(
+        (8, LANES), lambda s, i: (s, 0), memory_space=pltpu.VMEM
+    )
+    data_spec = pl.BlockSpec(
+        (chunk, LANES), lambda s, i: (i, s), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_gain_only_kernel, chunk=chunk, kind=kind),
+        grid=grid,
+        in_specs=[lane_spec] * 6 + [data_spec],
+        out_specs=data_spec,
+        out_shape=jax.ShapeDtypeStruct((Lp, Np), ut.dtype),
+        scratch_shapes=[pltpu.VMEM((1, LANES), ut.dtype)],
+        interpret=interpret,
+    )(zi2, at2, rt2, th2, cf2, hk2, ut)
+
+
 def forward_gain_pallas_tm(
     ut, zi2, at2, rt2, th2, cf2, hk2, chunk: int = 2048,
     kind: str = "compressor", interpret: bool = False,

@@ -345,7 +345,7 @@ def _biquad_block_stage(x, bk, ak, T):
     return _biquad_block_stage_apply(x, _stage_eigen_kernels(bk, ak, T), T)
 
 
-def _biquad_block_stage_apply(x, kernels, T):
+def _biquad_block_stage_apply(x, kernels, T, toeplitz=None):
     """Data path of :func:`_biquad_block_stage` on prebuilt kernels."""
     h, K_out, K_in, M = kernels
     N, L = x.shape
@@ -356,12 +356,13 @@ def _biquad_block_stage_apply(x, kernels, T):
 
     # Zero-state response inside each block: exact since the filter
     # history within a block never exceeds T samples.  One batched MXU
-    # matmul against the causal-Toeplitz operator of h for short blocks,
-    # causal FFT conv beyond that (see _causal_toeplitz).
-    if T <= _TOEPLITZ_MAX_T:
-        y_zs = jnp.einsum(
-            "nbq,ntq->nbt", xb, _causal_toeplitz(h), precision=PREC_APPLY
-        )
+    # matmul against the causal-Toeplitz operator of h for short blocks
+    # (prebuilt by biquad_exact_build when cached), causal FFT conv
+    # beyond that (see _causal_toeplitz).
+    if toeplitz is None and T <= _TOEPLITZ_MAX_T:
+        toeplitz = _causal_toeplitz(h)
+    if toeplitz is not None:
+        y_zs = jnp.einsum("nbq,ntq->nbt", xb, toeplitz, precision=PREC_APPLY)
     else:
         y_zs = fft_convolve(xb, h[:, None, :], mode="causal", pad_mode="pow2")
 
@@ -459,12 +460,17 @@ def biquad_exact_build(Bs, As, block_size: int = 128):
     T = block_size
     if K <= 2:
         ks = [_stage_eigen_kernels(b[:, k], a[:, k], T) for k in range(K)]
-        return {
+        cache = {
             "h": jnp.stack([k_[0] for k_ in ks], 1),
             "K_out": jnp.stack([k_[1] for k_ in ks], 1),
             "K_in": jnp.stack([k_[2] for k_ in ks], 1),
             "M": jnp.stack([k_[3] for k_ in ks], 1),
         }
+        if T <= _TOEPLITZ_MAX_T:
+            cache["Toep"] = jnp.stack(
+                [_causal_toeplitz(k_[0]) for k_ in ks], 1
+            )
+        return cache
     H, W, V, A = _cascade_kernels_doubling(b, a, T)
     cache = {"H": H, "W": W, "V": V, "A": A}
     if T <= _TOEPLITZ_MAX_T:
@@ -485,6 +491,7 @@ def biquad_exact_apply(x, cache, block_size: int = 128):
             toeplitz=cache.get("Toep"),
         )
     y = x
+    toep = cache.get("Toep")
     for k in range(cache["h"].shape[1]):
         kernels = (
             cache["h"][:, k],
@@ -492,7 +499,9 @@ def biquad_exact_apply(x, cache, block_size: int = 128):
             cache["K_in"][:, k],
             cache["M"][:, k],
         )
-        y = _biquad_block_stage_apply(y, kernels, T)
+        y = _biquad_block_stage_apply(
+            y, kernels, T, toeplitz=None if toep is None else toep[:, k]
+        )
     return y
 
 

@@ -374,7 +374,7 @@ def test_propagate_states_custom_vjp_matches_autodiff():
     from grafx_tpu.ops.iir import _propagate_states
 
     rng = np.random.RandomState(0)
-    N, NB, S = 3, 128, 4  # NB >= 64 exercises the two-level decomposition
+    N, NB, S = 3, 128, 4
     s_in = jnp.asarray(rng.randn(N, NB, S).astype(np.float32))
     # contraction-like transitions (|A| < 1)
     A = jnp.asarray((0.3 * rng.randn(N, S, S)).astype(np.float32))
