@@ -505,3 +505,57 @@ def test_sorted_scatter_aggregation_matches_unsorted_fallback():
     got_u = aggregate_tensor(x, unsorted, dim=0)
     ref_u = jnp.zeros((4, 2, 32)).at[jnp.array(unsorted.idx)].add(x)
     np.testing.assert_allclose(np.asarray(got_u), np.asarray(ref_u), rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_random_graph_schedules_and_modes_agree(seed):
+    """Property test over random console-style DAGs: the rendered master
+    output must be identical across scheduling methods (beam / greedy /
+    one-by-one) and buffer modes — the schedule and the executor layout
+    are implementation details, not semantics."""
+    from grafx_tpu.processors import TanhDistortion
+
+    rng = np.random.default_rng(seed)
+    types = {"gain": StereoGain(), "dist": TanhDistortion()}
+    config = NodeConfigs(list(types))
+    G = GRAFX(config=config)
+    ends = []
+    num_chains = int(rng.integers(2, 5))
+    for _ in range(num_chains):
+        chain = ["in"] + [
+            str(rng.choice(list(types))) for _ in range(int(rng.integers(1, 4)))
+        ]
+        _, last = G.add_serial_chain(chain)
+        ends.append(last)
+    # random extra cross edges into later mixes keep it a DAG
+    mix_a = G.add("mix")
+    for e in ends:
+        G.connect(e, mix_a)
+    post_first, post_last = G.add_serial_chain(["gain", "dist"])
+    G.connect(mix_a, post_first)
+    out = G.add("out")
+    G.connect(post_last, out)
+
+    params = create_empty_parameters(types, G, key=jax.random.PRNGKey(seed))
+    # Schedules permute node ids, which permutes each type's parameter
+    # rows; make every row of a type identical so the comparison is
+    # permutation-invariant (schedule equivalence is what's under test).
+    params = jax.tree.map(
+        lambda v: jnp.broadcast_to(v[:1], v.shape), params
+    )
+    x = jax.random.normal(jax.random.PRNGKey(seed + 10), (num_chains, 2, 2**9))
+
+    outs = []
+    for method in ("beam", "greedy", "one-by-one"):
+        G_t = reorder_for_fast_render(convert_to_tensor(G), method=method)
+        plan = prepare_render(G_t)
+        o, _, _ = render_grafx(types, x, params, plan)
+        outs.append(np.asarray(o if not isinstance(o, list) else o[0]))
+    for o in outs[1:]:
+        np.testing.assert_allclose(o, outs[0], rtol=1e-5, atol=1e-6)
+
+    # buffer modes on the beam schedule
+    G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
+    plan = prepare_render(G_t)
+    o_arr, _, _ = render_grafx(types, x, params, plan, buffer_mode="array")
+    np.testing.assert_allclose(np.asarray(o_arr), outs[0], rtol=1e-5, atol=1e-6)
