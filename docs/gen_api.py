@@ -77,6 +77,7 @@ MODULES = [
     "grafx_tpu.draw.style",
     "grafx_tpu.parallel",
     "grafx_tpu.checkpoint",
+    "grafx_tpu.serving",
     "grafx_tpu.profiling",
     "grafx_tpu.models.console",
     "grafx_tpu.models.optimize",

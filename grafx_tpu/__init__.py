@@ -26,6 +26,7 @@ from grafx_tpu import (
     parallel,
     processors,
     render,
+    serving,
     utils,
 )
 
@@ -40,5 +41,6 @@ __all__ = [
     "parallel",
     "processors",
     "render",
+    "serving",
     "utils",
 ]

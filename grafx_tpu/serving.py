@@ -1,0 +1,91 @@
+"""Ahead-of-time export of compiled graph renders for serving.
+
+The reference has no serving story (SURVEY.md §1: no CLI, no serving
+layer); production deployment of an audio-processing graph on TPU wants
+the opposite of a Python training loop: compile ONCE, ship the
+StableHLO artifact, and replay it from any process (including non-JAX
+runtimes via the XLA PJRT C API) without graph construction, scheduling,
+or tracing at load time.
+
+``export_render`` captures a scheduled render (or any jittable function
+of ``(input_signals, params)``) as a serialized `jax.export` artifact;
+``load_render`` restores a callable.  The artifact embeds the full
+render plan — schedule, slices, kernels, Pallas custom calls — so the
+serving side needs only the parameter pytree and audio buffers.
+
+Typical flow::
+
+    render = make_render_fn(processors, plan)
+    blob = export_render(render, example_signals, example_params)
+    Path("console.grafx").write_bytes(blob)
+    # ... serving process ...
+    render = load_render(Path("console.grafx").read_bytes())
+    out = render(signals, params)
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+
+def _only_output(result):
+    # render_grafx returns (out, intermediates, buffer); exporting just
+    # the master output keeps the artifact's output signature stable
+    if isinstance(result, tuple) and len(result) == 3:
+        return result[0]
+    return result
+
+
+def export_render(render_fn, example_signals, example_params,
+                  platforms=None):
+    """Serialize a compiled render as a portable StableHLO artifact.
+
+    Args:
+        render_fn: ``f(input_signals, params)`` — e.g. the closure from
+            :func:`grafx_tpu.render.make_render_fn` (its
+            ``(out, intermediates, buffer)`` return is narrowed to the
+            master output for a stable serving signature).
+        example_signals, example_params: arrays/pytrees fixing shapes
+            and dtypes (values are ignored).
+        platforms: optional lowering-platform list (e.g.
+            ``["tpu", "cpu"]``); defaults to the current backend.
+
+    Returns:
+        ``bytes`` — the serialized artifact (StableHLO + calling
+        convention), loadable with :func:`load_render` or any
+        `jax.export`-compatible runtime.
+    """
+
+    def serve(signals, params):
+        return _only_output(render_fn(signals, params))
+
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    exp = jax_export.export(jax.jit(serve), **kwargs)(
+        jax.ShapeDtypeStruct(
+            jnp.shape(example_signals), jnp.asarray(example_signals).dtype
+        ),
+        jax.tree.map(
+            lambda v: jax.ShapeDtypeStruct(jnp.shape(v), jnp.asarray(v).dtype),
+            example_params,
+        ),
+    )
+    return bytes(exp.serialize())
+
+
+def load_render(blob):
+    """Restore an exported render; returns ``f(signals, params) -> out``.
+
+    The call re-traces nothing: the embedded StableHLO is compiled
+    directly for the local backend (jit-cached after the first call).
+    """
+    exp = jax_export.deserialize(blob)
+
+    def serve(signals, params):
+        return exp.call(signals, params)
+
+    return serve
+
+
+__all__ = ["export_render", "load_render"]

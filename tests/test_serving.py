@@ -1,0 +1,54 @@
+"""AOT export / serving tests: a scheduled render round-trips through
+`jax.export` serialization and replays without re-tracing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grafx_tpu.data import GRAFX, NodeConfigs, convert_to_tensor
+from grafx_tpu.processors import Compressor, ParametricEqualizer, StereoGain
+from grafx_tpu.render import make_render_fn, prepare_render, reorder_for_fast_render
+from grafx_tpu.serving import export_render, load_render
+from grafx_tpu.utils import create_empty_parameters
+
+
+def _build():
+    config = NodeConfigs(["gain", "eq", "comp"])
+    G = GRAFX(config=config)
+    ends = []
+    for _ in range(3):
+        _, last = G.add_serial_chain(["in", "eq", "comp", "gain"])
+        ends.append(last)
+    mix = G.add("mix")
+    for e in ends:
+        G.connect(e, mix)
+    G.connect(mix, G.add("out"))
+    processors = {
+        "gain": StereoGain(),
+        "eq": ParametricEqualizer(num_filters=2, backend="exact"),
+        "comp": Compressor(energy_smoother="iir", iir_len=256),
+    }
+    G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
+    plan = prepare_render(G_t)
+    params = create_empty_parameters(processors, G, key=jax.random.PRNGKey(0))
+    return make_render_fn(processors, plan), params
+
+
+def test_export_roundtrip_matches_live_render():
+    render, params = _build()
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 2, 2**10))
+
+    blob = export_render(render, x, params)
+    assert isinstance(blob, bytes) and len(blob) > 0
+
+    served = load_render(blob)
+    out_served = served(x, params)
+    out_live, _, _ = render(x, params)
+    np.testing.assert_allclose(
+        np.asarray(out_served), np.asarray(out_live), rtol=1e-5, atol=1e-6
+    )
+
+    # fresh parameter values replay through the same artifact
+    params2 = jax.tree.map(lambda v: v + 0.01, params)
+    out2 = served(x, params2)
+    assert not np.allclose(np.asarray(out2), np.asarray(out_served))
