@@ -101,10 +101,10 @@ def main():
                     "kernel dispatch (eager)": round(dispatch * 1e3, 2),
                 },
                 "a100_step_exact_backends_ms": round(est_exact * 1e3, 2),
-                "grafx_tpu_v5e_ms_per_graph": 6.7,  # batch-4 headline (round 2)
-                "estimated_margin_vs_a100_default_fsm": round(est / 0.0067, 2),
+                "grafx_tpu_v5e_ms_per_graph": 5.7,  # batch-4 headline (round 2)
+                "estimated_margin_vs_a100_default_fsm": round(est / 0.0057, 2),
                 "estimated_margin_vs_a100_matched_exactness": round(
-                    est_exact / 0.0067, 2
+                    est_exact / 0.0057, 2
                 ),
                 "note": (
                     "reference default = fsm approximation; grafx-tpu runs"
