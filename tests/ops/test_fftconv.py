@@ -41,3 +41,17 @@ def test_channel_broadcasting():
     assert y.shape == (4, 2, 200)
     ref = np.convolve(x[0, 0], h[0, 1])[:200]
     np.testing.assert_allclose(np.asarray(y)[0, 1], ref, rtol=1e-4, atol=1e-4)
+
+
+def test_overlap_save_matches_direct_causal():
+    from grafx_tpu.ops.fftconv import fft_convolve, fft_convolve_os
+
+    rng = np.random.RandomState(3)
+    for L, Lh, block in [(5000, 700, None), (2**14, 6000, None), (9999, 128, 512)]:
+        x = jnp.asarray(rng.randn(2, 2, L).astype(np.float32))
+        h = jnp.asarray(rng.randn(2, 2, Lh).astype(np.float32))
+        a = fft_convolve(x, h, mode="causal", pad_mode="pow2")
+        b = fft_convolve_os(x, h, block=block)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-3
+        )
