@@ -9,7 +9,10 @@ or tracing at load time.
 
 ``export_render`` captures a scheduled render (or any jittable function
 of ``(input_signals, params)``) as a serialized `jax.export` artifact;
-``load_render`` restores a callable.  The artifact embeds the full
+``load_render`` restores a callable.  Verified on the real chip: an
+exported render containing the fused Pallas compressor kernels
+round-trips with 0 output difference (the Mosaic custom calls serialize
+inside the StableHLO).  The artifact embeds the full
 render plan — schedule, slices, kernels, Pallas custom calls — so the
 serving side needs only the parameter pytree and audio buffers.
 
