@@ -7,8 +7,43 @@ padding, periodic windows, and iSTFT synthesis normalized by the summed
 squared window envelope.
 """
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Below this transform size the inverse DFT runs as two MXU matmuls
+# against precomputed real bases instead of jnp.fft.irfft: XLA's TPU FFT
+# decomposes small transforms into a tail of reshape/copy/fusion ops,
+# while a (frames x F) @ (F x n_fft) matmul is one MXU op with a matmul
+# adjoint.  Measured end-to-end neutral on the headline bench (the
+# reverb's cost sits in its long convolution, not here) but it cuts
+# ~100 ops from the program, which helps compile time and trace size.
+_IRFFT_MATMUL_MAX_N = 512
+
+
+@functools.lru_cache(maxsize=8)
+def _irfft_bases(n_fft: int):
+    """Real/imag inverse-rfft bases: ``x = Re @ A + Im @ B`` with
+    ``A, B (F, n_fft)`` built column-exactly from numpy's irfft."""
+    F = n_fft // 2 + 1
+    eye = np.eye(F)
+    A = np.stack([np.fft.irfft(eye[f], n_fft) for f in range(F)])
+    B = np.stack([np.fft.irfft(1j * eye[f], n_fft) for f in range(F)])
+    return A.astype(np.float32), B.astype(np.float32)
+
+
+def _irfft_small(spec, n_fft: int):
+    """irfft along the last axis via MXU matmuls (exact; see bases)."""
+    A, B = _irfft_bases(n_fft)
+    re = jnp.real(spec)
+    im = jnp.imag(spec)
+    prec = jax.lax.Precision.HIGHEST
+    return (
+        jnp.einsum("...f,ft->...t", re, jnp.asarray(A), precision=prec)
+        + jnp.einsum("...f,ft->...t", im, jnp.asarray(B), precision=prec)
+    )
 
 
 def stft(x, n_fft: int, hop_length: int, window):
@@ -51,7 +86,11 @@ def istft(spec, n_fft: int, hop_length: int, window, length: int):
         spec: ``(..., n_fft // 2 + 1, num_frames)`` complex spectrogram.
         length: output length (center padding removed).
     """
-    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
+    spec_t = jnp.swapaxes(spec, -1, -2)
+    if n_fft <= _IRFFT_MATMUL_MAX_N:
+        frames = _irfft_small(spec_t, n_fft)
+    else:
+        frames = jnp.fft.irfft(spec_t, n=n_fft, axis=-1)
     frames = frames * window  # (..., num_frames, n_fft)
     num_frames = frames.shape[-2]
     total = n_fft + hop_length * (num_frames - 1)
