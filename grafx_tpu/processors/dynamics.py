@@ -257,19 +257,28 @@ class FactorizedCompressor(Compressor):
         class _FrameSmoother:
             def __call__(_self, energy, z_alpha):
                 B, L = energy.shape
-                pad = (-L) % self.frame_len
+                F = self.frame_len
+                pad = (-L) % F
                 e = jnp.pad(energy, ((0, 0), (0, pad)))
-                frames = e.reshape(B, -1, self.frame_len).mean(-1)
+                frames = e.reshape(B, -1, F).mean(-1)
                 smoothed = ballistics(frames, z_alpha=z_alpha)
-                # linear interpolation back to sample rate
-                n_frames = smoothed.shape[-1]
-                t = (jnp.arange(L) + 0.5) / self.frame_len - 0.5
-                lo = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, n_frames - 1)
-                hi = jnp.clip(lo + 1, 0, n_frames - 1)
-                frac = jnp.clip(t - lo, 0.0, 1.0)
-                return (
-                    smoothed[:, lo] * (1.0 - frac) + smoothed[:, hi] * frac
-                )
+                # Linear interpolation back to sample rate, GATHER-FREE
+                # (TPU gathers over 10^5 indices serialize): sample j of
+                # block k sits between frame centers, so the upsample is
+                # a broadcast lerp between the previous/current/next
+                # frame values with a fixed per-offset weight pattern,
+                # flat-extended at the edges (identical to the
+                # clipped-gather formulation).
+                s = smoothed  # (B, n_frames)
+                s_prev = jnp.concatenate([s[:, :1], s[:, :-1]], axis=1)
+                s_next = jnp.concatenate([s[:, 1:], s[:, -1:]], axis=1)
+                w = (jnp.arange(F, dtype=s.dtype) + 0.5) / F  # (F,)
+                first = w < 0.5
+                frac = jnp.where(first, w + 0.5, w - 0.5)  # (F,)
+                a = jnp.where(first, s_prev[..., None], s[..., None])
+                b = jnp.where(first, s[..., None], s_next[..., None])
+                up = a * (1.0 - frac) + b * frac  # (B, n_frames, F)
+                return up.reshape(B, -1)[:, :L]
 
         self.energy_smoother_module = _FrameSmoother()
 
