@@ -235,19 +235,22 @@ def reverse_scan_pallas(a, g, chunk: int = 2048):
 
     # pad at the END with a = 0, g = 0: the reverse walk crosses the pad
     # first and enters the real tail with state exactly 0
-    at_ = jnp.zeros((Lp, Np), a.dtype).at[:L, :N].set(a.T)
-    gt_ = jnp.zeros((Lp, Np), g.dtype).at[:L, :N].set(g.T)
+    at_ = jnp.pad(a.T, ((0, Lp - L), (0, Np - N)))
+    gt_ = jnp.pad(g.T, ((0, Lp - L), (0, Np - N)))
     gh = reverse_scan_pallas_tm(at_, gt_, chunk=chunk)
     return gh[:L, :N].T
 
 
 def pad_time_major(x, chunk: int = 2048):
-    """``(N, L)`` -> end-padded time-major ``(Lp, Np)`` kernel layout."""
+    """``(N, L)`` -> end-padded time-major ``(Lp, Np)`` kernel layout.
+
+    One ``jnp.pad`` of the transpose (a single full-size write) instead
+    of a zeros-init + update-slice (which writes the buffer twice)."""
     N, L = x.shape
     S = -(-N // LANES)
     Np = S * LANES
     Lp = -(-L // chunk) * chunk
-    return jnp.zeros((Lp, Np), x.dtype).at[:L, :N].set(x.T)
+    return jnp.pad(x.T, ((0, Lp - L), (0, Np - N)))
 
 
 def expand_lanes(v, S):
