@@ -232,8 +232,9 @@ def _gain_fwd(u, zi, at, rt, th, cf, hk, kind):
 
     N, L = u.shape
     S = -(-N // LANES)
-    gain_t, yt, dt = forward_gain_pallas_tm(
-        pad_time_major(u),
+    ut = pad_time_major(u)
+    gain_t, dt, ylast = forward_gain_pallas_tm(
+        ut,
         expand_lanes(zi, S),
         expand_lanes(at, S),
         expand_lanes(rt, S),
@@ -242,7 +243,10 @@ def _gain_fwd(u, zi, at, rt, th, cf, hk, kind):
         expand_lanes(hk, S),
         kind=kind,
     )
-    return gain_t[:L, :N].T, (dt, yt, at, rt, th, cf, hk)
+    # ut is already materialized for the kernel, so keeping it as a
+    # residual costs nothing; y is reconstructed in the backward from
+    # u - d and the final-state seed
+    return gain_t[:L, :N].T, (dt, ut, ylast, at, rt, th, cf, hk)
 
 
 def _gain_bwd(kind, res, g):
@@ -253,13 +257,13 @@ def _gain_bwd(kind, res, g):
         pad_time_major,
     )
 
-    dt, yt, at, rt, th, cf, hk = res
+    dt, ut, ylast, at, rt, th, cf, hk = res
     N, L = g.shape
     Lp, Np = dt.shape
     S = Np // LANES
     ggt = pad_time_major(g)
     du_t, dat2, drt2, dzi2, dth2, dcf2, dhk2 = backward_gain_pallas_tm(
-        dt, yt, ggt,
+        dt, ut, ylast, ggt,
         expand_lanes(at, S),
         expand_lanes(rt, S),
         expand_lanes(th, S),

@@ -433,8 +433,13 @@ def _knee_fhk(x, hk, kind):
 
 def _fwd_gain_kernel(
     zi_ref, at_ref, rt_ref, th_ref, cf_ref, hk_ref, u_ref,
-    gain_ref, y_ref, d_ref, state, *, chunk, kind,
+    gain_ref, d_ref, ylast_ref, state, *, chunk, kind,
 ):
+    """Fused forward.  Residual outputs are ``d`` and the final state
+    ``y_last`` only: the backward reconstructs every ``y[n]`` from
+    ``u - d`` (``= y[n-1]``) shifted by one row via a reverse-walk carry
+    seeded with ``y_last`` — one fewer full-length HBM write than
+    emitting ``y`` itself."""
     @pl.when(pl.program_id(1) == 0)
     def _():
         state[:] = zi_ref[0:1, :]
@@ -464,33 +469,39 @@ def _fwd_gain_kernel(
         # knee epilogue: vectorized over the whole tile, off the chain
         x = jnp.log(y_tile + _EPS) - th
         gain = jnp.exp(cf * _knee_f(x, hk, kind))
-        y_ref[pl.ds(j * TILE, TILE), :] = y_tile
         d_ref[pl.ds(j * TILE, TILE), :] = jnp.concatenate(drows, axis=0)
         gain_ref[pl.ds(j * TILE, TILE), :] = gain
         return st
 
     st = jax.lax.fori_loop(0, chunk // TILE, body, state[:])
     state[:] = st
+    ylast_ref[:] = jnp.broadcast_to(st, ylast_ref.shape)
 
 
 def _bwd_gain_kernel(
-    at_ref, rt_ref, th_ref, cf_ref, hk_ref, d_ref, y_ref, gg_ref,
+    at_ref, rt_ref, th_ref, cf_ref, hk_ref, ylast_ref, d_ref, u_ref, gg_ref,
     du_ref, dat_ref, drt_ref, dzi_ref, dth_ref, dcf_ref, dhk_ref,
-    gh_s, omc_s, aat_s, art_s, ath_s, acf_s, ahk_s, *, chunk, kind,
+    gh_s, omc_s, aat_s, art_s, ath_s, acf_s, ahk_s, ud_s, *, chunk, kind,
 ):
     """Adjoint of :func:`_fwd_gain_kernel` in one pass.
 
-    Per tile (vectorized): recompute the knee quantities from the saved
-    ``y``, turn the gain cotangent ``gg`` into the recursion's output
-    cotangent ``g = gg * gain * cf * f'(x) / (y + eps)`` and accumulate
-    the knee parameter gradients; then walk the tile's rows back-to-front
-    through the reverse recursion exactly like ``_bwd_fused_kernel``.
+    Per tile (vectorized): reconstruct ``y[n]`` from ``u - d``
+    (``= y[n-1]``) shifted one row toward past via the reverse-walk
+    carry (seeded with the saved ``y_last``), recompute the knee
+    quantities, turn the gain cotangent ``gg`` into the recursion's
+    output cotangent ``g = gg * gain * cf * f'(x) / (y + eps)`` and
+    accumulate the knee parameter gradients; then walk the tile's rows
+    back-to-front through the reverse recursion exactly like
+    ``_bwd_fused_kernel``.  Pad rows are harmless: their ``gg`` is zero,
+    and ``u - d`` there equals the (non-negative) carried state, so the
+    log stays finite.
     """
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         for ref in (gh_s, omc_s, aat_s, art_s, ath_s, acf_s, ahk_s):
             ref[:] = jnp.zeros_like(ref)
+        ud_s[:] = ylast_ref[0:1, :]
 
     at = at_ref[0:1, :]
     rt = rt_ref[0:1, :]
@@ -499,11 +510,17 @@ def _bwd_gain_kernel(
     hk = hk_ref[0:1, :]
 
     def body(j, carry):
-        gh, omc, aat, art, ath, acf, ahk = carry
+        gh, omc, aat, art, ath, acf, ahk, ud_carry = carry
         base_i = chunk - (j + 1) * TILE
         d_tile = d_ref[pl.ds(base_i, TILE), :]
-        y_tile = y_ref[pl.ds(base_i, TILE), :]
+        u_tile = u_ref[pl.ds(base_i, TILE), :]
         gg_tile = gg_ref[pl.ds(base_i, TILE), :]
+
+        # y[n] = (u - d)[n + 1]: shift toward past, next-tile head from
+        # the carry (off the sequential chain)
+        ud = u_tile - d_tile  # = y[n-1] per row
+        y_tile = jnp.concatenate([ud[1:], ud_carry], axis=0)
+        new_ud_carry = ud[0:1]
 
         x = jnp.log(y_tile + _EPS) - th
         f = _knee_f(x, hk, kind)
@@ -529,11 +546,12 @@ def _bwd_gain_kernel(
         dc = jnp.concatenate(dc_rows[::-1], axis=0)
         aat = aat + jnp.sum(jnp.where(att_tile, dc, 0.0), axis=0, keepdims=True)
         art = art + jnp.sum(jnp.where(att_tile, 0.0, dc), axis=0, keepdims=True)
-        return gh, omc, aat, art, ath, acf, ahk
+        return gh, omc, aat, art, ath, acf, ahk, new_ud_carry
 
-    gh, omc, aat, art, ath, acf, ahk = jax.lax.fori_loop(
+    gh, omc, aat, art, ath, acf, ahk, ud_c = jax.lax.fori_loop(
         0, chunk // TILE, body,
-        (gh_s[:], omc_s[:], aat_s[:], art_s[:], ath_s[:], acf_s[:], ahk_s[:]),
+        (gh_s[:], omc_s[:], aat_s[:], art_s[:], ath_s[:], acf_s[:],
+         ahk_s[:], ud_s[:]),
     )
     gh_s[:] = gh
     omc_s[:] = omc
@@ -542,6 +560,7 @@ def _bwd_gain_kernel(
     ath_s[:] = ath
     acf_s[:] = acf
     ahk_s[:] = ahk
+    ud_s[:] = ud_c
     dat_ref[:] = jnp.broadcast_to(aat, dat_ref.shape)
     drt_ref[:] = jnp.broadcast_to(art, drt_ref.shape)
     dzi_ref[:] = jnp.broadcast_to(omc * gh, dzi_ref.shape)
@@ -622,8 +641,9 @@ def forward_gain_pallas_tm(
 ):
     """Fused smoother + knee gain forward on the padded time-major layout.
 
-    Returns ``(gain_t, y_t, d_t)``; ``y_t``/``d_t`` are the backward's
-    residuals.
+    Returns ``(gain_t, d_t, y_last)``; ``d_t`` and the ``(8*S, LANES)``
+    final state ``y_last`` are the backward's residuals (``y`` itself is
+    reconstructed there from ``u - d``).
     """
     Lp, Np = ut.shape
     S = Np // LANES
@@ -638,9 +658,11 @@ def forward_gain_pallas_tm(
         functools.partial(_fwd_gain_kernel, chunk=chunk, kind=kind),
         grid=grid,
         in_specs=[lane_spec] * 6 + [data_spec],
-        out_specs=(data_spec, data_spec, data_spec),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((Lp, Np), ut.dtype) for _ in range(3)
+        out_specs=(data_spec, data_spec, lane_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((Lp, Np), ut.dtype),
+            jax.ShapeDtypeStruct((Lp, Np), ut.dtype),
+            jax.ShapeDtypeStruct((S * 8, LANES), ut.dtype),
         ),
         scratch_shapes=[pltpu.VMEM((1, LANES), ut.dtype)],
         interpret=interpret,
@@ -648,7 +670,7 @@ def forward_gain_pallas_tm(
 
 
 def backward_gain_pallas_tm(
-    dt, yt, ggt, at2, rt2, th2, cf2, hk2, chunk: int = 2048,
+    dt, ut, ylast, ggt, at2, rt2, th2, cf2, hk2, chunk: int = 2048,
     kind: str = "compressor", interpret: bool = False,
 ):
     """Fused adjoint: returns ``(du_t, dat, drt, dzi, dth, dcf, dhk)``
@@ -669,9 +691,9 @@ def backward_gain_pallas_tm(
     return pl.pallas_call(
         functools.partial(_bwd_gain_kernel, chunk=chunk, kind=kind),
         grid=grid,
-        in_specs=[lane_spec] * 5 + [rev_spec] * 3,
+        in_specs=[lane_spec] * 6 + [rev_spec] * 3,
         out_specs=(rev_spec,) + (lane_spec,) * 6,
         out_shape=(jax.ShapeDtypeStruct((Lp, Np), dt.dtype),) + (small,) * 6,
-        scratch_shapes=[pltpu.VMEM((1, LANES), dt.dtype)] * 7,
+        scratch_shapes=[pltpu.VMEM((1, LANES), dt.dtype)] * 8,
         interpret=interpret,
-    )(at2, rt2, th2, cf2, hk2, dt, yt, ggt)
+    )(at2, rt2, th2, cf2, hk2, ylast, dt, ut, ggt)

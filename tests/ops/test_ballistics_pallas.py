@@ -142,13 +142,20 @@ def test_fused_gain_forward_matches_composition(kind):
     N, L = 5, 192
     u, zi, at, rt, th, cf, hk = _gain_setup(N, L, 3, kind)
     S = -(-N // LANES)
-    gain_t, yt, dt = forward_gain_pallas_tm(
+    gain_t, dt, ylast = forward_gain_pallas_tm(
         pad_time_major(u, CHUNK),
         expand_lanes(zi, S), expand_lanes(at, S), expand_lanes(rt, S),
         expand_lanes(th, S), expand_lanes(cf, S), expand_lanes(hk, S),
         chunk=CHUNK, kind=kind, interpret=True,
     )
     gain = gain_t[:L, :N].T
+    # y_last must equal the scan smoother's final state
+    y_scan = _forward_scan(u, zi, at, rt)
+    np.testing.assert_allclose(
+        np.asarray(ylast[::8].reshape(-1)[:N]),
+        np.asarray(y_scan[:, -1]),
+        rtol=2e-5, atol=1e-6,
+    )
     ref = _compose_gain_reference(u, zi, at, rt, th, cf, hk, kind)
     np.testing.assert_allclose(
         np.asarray(gain), np.asarray(ref), rtol=2e-5, atol=1e-6
@@ -156,26 +163,28 @@ def test_fused_gain_forward_matches_composition(kind):
 
 
 @pytest.mark.parametrize("kind", ["compressor", "noisegate"])
-def test_fused_gain_backward_matches_autodiff(kind):
+@pytest.mark.parametrize("L", [192, 200])  # 200: pad rows cross the carry
+def test_fused_gain_backward_matches_autodiff(kind, L):
     from grafx_tpu.ops.ballistics_tpu import (
         backward_gain_pallas_tm,
         forward_gain_pallas_tm,
     )
 
-    N, L = 4, 192
+    N = 4
     u, zi, at, rt, th, cf, hk = _gain_setup(N, L, 11, kind)
     rng = np.random.RandomState(13)
     gg = jnp.asarray(rng.randn(N, L).astype(np.float32))
 
     S = -(-N // LANES)
     lanes = lambda v: expand_lanes(v, S)
-    _, yt, dt = forward_gain_pallas_tm(
-        pad_time_major(u, CHUNK), lanes(zi), lanes(at), lanes(rt),
+    ut = pad_time_major(u, CHUNK)
+    _, dt, ylast = forward_gain_pallas_tm(
+        ut, lanes(zi), lanes(at), lanes(rt),
         lanes(th), lanes(cf), lanes(hk),
         chunk=CHUNK, kind=kind, interpret=True,
     )
     outs = backward_gain_pallas_tm(
-        dt, yt, pad_time_major(gg, CHUNK),
+        dt, ut, ylast, pad_time_major(gg, CHUNK),
         lanes(at), lanes(rt), lanes(th), lanes(cf), lanes(hk),
         chunk=CHUNK, kind=kind, interpret=True,
     )
