@@ -99,6 +99,23 @@ def main():
     from grafx_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
+
+    # Automated on-device exactness gate for the PREC_APPLY relaxation
+    # (ADVICE r2): CPU tests cannot see TPU MXU precision, so verify the
+    # exact-cascade contract on THIS chip before timing; escalate to
+    # HIGHEST precision (and disclose it in the metric) if violated.
+    from grafx_tpu.ops import iir as iir_ops
+
+    precision_note = ""
+    exact_db = iir_ops.exactness_check_db()
+    if exact_db > -60.0:
+        iir_ops.set_exact_apply_precision("highest")
+        retry_db = iir_ops.exactness_check_db()
+        precision_note = (
+            f"; apply-precision escalated to HIGHEST on-device"
+            f" ({exact_db:.1f} dB -> {retry_db:.1f} dB)"
+        )
+
     G = build_mix_graph()
     num_nodes = G.number_of_nodes()
 
@@ -159,6 +176,7 @@ def main():
                     f" stereo x 2^17 @ 44.1kHz); step time"
                     f" {step_s * 1000:.1f} ms"
                     f" ({step_s * 1000 / BATCH:.1f} ms/graph)"
+                    f"{precision_note}"
                 ),
                 "value": round(value, 1),
                 "unit": "audio-sec/sec/chip",

@@ -136,6 +136,9 @@ CONFIGS = {"1": config1, "2": config2, "3": config3, "4": config4, "5": config5}
 
 
 def main():
+    from grafx_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     names = sorted(CONFIGS) if which == "all" else [which]
     for n in names:

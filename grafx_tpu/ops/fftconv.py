@@ -7,8 +7,18 @@ and fuse with the surrounding elementwise work, so a single code path
 suffices; we default to power-of-two FFT lengths, which XLA tiles best.
 """
 
+import os
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+
+# The custom-VJP path shares the forward spectra rfft(x)/rfft(h) with the
+# adjoint and writes the backward as two IRFFTs (correlation theorem),
+# replacing the complex-to-complex FFTs that JAX's generic rfft/irfft
+# transpose rules emit (each costs ~2x an rfft at these lengths).
+# Set GRAFX_TPU_FFTCONV_VJP=0 to fall back to plain autodiff (A/B knob).
+USE_CUSTOM_VJP = os.environ.get("GRAFX_TPU_FFTCONV_VJP", "1") != "0"
 
 
 def next_pow2(n: int) -> int:
@@ -27,6 +37,73 @@ def compute_pad_len(x_len: int, h_len: int, pad_mode: str = "pow2") -> int:
     raise ValueError(f"Unsupported pad_mode: {pad_mode}")
 
 
+def _crop_params(x_len: int, h_len: int, n: int, mode: str):
+    """(start, length) of the output window within the length-``n``
+    circular convolution."""
+    if mode == "zerophase":
+        return h_len // 2, x_len
+    elif mode == "causal":
+        return 0, x_len
+    elif mode == "full":
+        return 0, n
+    raise ValueError(f"Unsupported convolution mode: {mode}")
+
+
+def _unbroadcast(g, shape):
+    """Adjoint of broadcasting: sum ``g`` down to ``shape``."""
+    extra = g.ndim - len(shape)
+    if extra:
+        g = jnp.sum(g, axis=tuple(range(extra)))
+    axes = tuple(
+        i for i, (a, b) in enumerate(zip(g.shape, shape)) if b == 1 and a != 1
+    )
+    if axes:
+        g = jnp.sum(g, axis=axes, keepdims=True)
+    return g
+
+
+def _fft_convolve_spectra(x, h, mode, pad_mode):
+    x_len, h_len = x.shape[-1], h.shape[-1]
+    n = compute_pad_len(x_len, h_len, pad_mode)
+    X = jnp.fft.rfft(x, n=n)
+    H = jnp.fft.rfft(h, n=n)
+    y = jnp.fft.irfft(X * H, n=n)
+    start, out_len = _crop_params(x_len, h_len, n, mode)
+    return y[..., start : start + out_len], X, H
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _fft_convolve_shared_vjp(x, h, mode, pad_mode):
+    y, _, _ = _fft_convolve_spectra(x, h, mode, pad_mode)
+    return y
+
+
+def _fft_convolve_fwd(x, h, mode, pad_mode):
+    y, X, H = _fft_convolve_spectra(x, h, mode, pad_mode)
+    return y, (X, H, x.shape, h.shape)
+
+
+def _fft_convolve_bwd(mode, pad_mode, res, dy):
+    # Adjoint of y = crop(irfft(rfft(x) * rfft(h))): with the circulant
+    # view y = R C_h P x, the cotangents are circular *correlations* —
+    # dx = irfft(conj(H) * DY)[:L_x], dh = irfft(conj(X) * DY)[:L_h] —
+    # computed from the SAVED forward spectra, so fwd+bwd together cost
+    # exactly 3 RFFTs + 3 IRFFTs (the minimum for a bilinear conv).
+    X, H, x_shape, h_shape = res
+    x_len, h_len = x_shape[-1], h_shape[-1]
+    n = compute_pad_len(x_len, h_len, pad_mode)
+    start, _ = _crop_params(x_len, h_len, n, mode)
+    if start:
+        dy = jnp.pad(dy, [(0, 0)] * (dy.ndim - 1) + [(start, 0)])
+    DY = jnp.fft.rfft(dy, n=n)
+    dx = jnp.fft.irfft(jnp.conj(H) * DY, n=n)[..., :x_len]
+    dh = jnp.fft.irfft(jnp.conj(X) * DY, n=n)[..., :h_len]
+    return _unbroadcast(dx, x_shape), _unbroadcast(dh, h_shape)
+
+
+_fft_convolve_shared_vjp.defvjp(_fft_convolve_fwd, _fft_convolve_bwd)
+
+
 def fft_convolve(x, h, mode: str = "zerophase", pad_mode: str = "pow2"):
     """Batched linear convolution via real FFT.
 
@@ -43,20 +120,16 @@ def fft_convolve(x, h, mode: str = "zerophase", pad_mode: str = "pow2"):
         Convolved signals of length ``L_x`` (for causal/zerophase) with
         broadcast leading dims, e.g. channel broadcasting between a mono
         filter and a stereo signal.
+
+    The gradient shares the forward spectra with the adjoint via a
+    custom VJP (see ``USE_CUSTOM_VJP``); outputs and gradients are
+    identical to plain autodiff to float round-off, at ~25% fewer
+    FFT flops per fwd+bwd pair (benchmarks/count_ffts.py).
     """
-    x_len, h_len = x.shape[-1], h.shape[-1]
-    n = compute_pad_len(x_len, h_len, pad_mode)
-    X = jnp.fft.rfft(x, n=n)
-    H = jnp.fft.rfft(h, n=n)
-    y = jnp.fft.irfft(X * H, n=n)
-    if mode == "zerophase":
-        start = h_len // 2
-        return y[..., start : start + x_len]
-    elif mode == "causal":
-        return y[..., :x_len]
-    elif mode == "full":
-        return y
-    raise ValueError(f"Unsupported convolution mode: {mode}")
+    if USE_CUSTOM_VJP:
+        return _fft_convolve_shared_vjp(x, h, mode, pad_mode)
+    y, _, _ = _fft_convolve_spectra(x, h, mode, pad_mode)
+    return y
 
 
 class FIRConvolution:
@@ -92,7 +165,9 @@ def fft_convolve_os(x, h, mode: str = "causal", block: int = None):
     long signals and as the building block for streaming.
 
     Args:
-        x: ``(..., L_x)``; h: ``(..., L_h)`` with ``L_h <= block + 1``.
+        x: ``(..., L_x)``; h: ``(..., L_h)`` (any ``block`` works: the
+            FFT length ``next_pow2(block + L_h - 1)`` confines circular
+            wrap-around to the discarded first ``L_h - 1`` samples).
         block: output hop per FFT block; default picks
             ``next_pow2(L_h)`` so the FFT length is ``2 * next_pow2(L_h)``.
     """

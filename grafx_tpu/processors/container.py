@@ -12,13 +12,23 @@ import math
 import jax
 import jax.numpy as jnp
 
-from grafx_tpu.processors.core.utils import rms_difference
+from grafx_tpu.processors.core.utils import accepts_noise_key, rms_difference
 
 
 def _split_output(out):
     if isinstance(out, tuple):
         return out
     return out, None
+
+
+def _maybe_key(processor, noise_key, i=0):
+    """kwargs to forward a render-executor RNG key to a wrapped
+    processor: containers declare ``noise_key`` themselves and split it
+    per inner processor, so stochastic processors (e.g. resampled-noise
+    reverbs) keep per-call noise inside any container nesting."""
+    if noise_key is None or not accepts_noise_key(processor):
+        return {}
+    return {"noise_key": jax.random.fold_in(noise_key, i)}
 
 
 class DryWet:
@@ -35,9 +45,15 @@ class DryWet:
         self.processor = processor
         self.external_param = external_param
 
-    def __call__(self, input_signals, drywet_weight, **processor_kwargs):
+    def __call__(
+        self, input_signals, drywet_weight, noise_key=None, **processor_kwargs
+    ):
         out, intermediates = _split_output(
-            self.processor(input_signals, **processor_kwargs)
+            self.processor(
+                input_signals,
+                **processor_kwargs,
+                **_maybe_key(self.processor, noise_key),
+            )
         )
         w = jax.nn.sigmoid(drywet_weight).reshape(-1, 1, 1)
         mixed = w * out + (1.0 - w) * input_signals
@@ -59,11 +75,15 @@ class SerialChain:
     def __init__(self, processors):
         self.processors = dict(processors)
 
-    def __call__(self, input_signals, **processors_kwargs):
+    def __call__(self, input_signals, noise_key=None, **processors_kwargs):
         out = input_signals
         intermediates = {}
-        for k, processor in self.processors.items():
-            result = processor(out, **processors_kwargs[k])
+        for i, (k, processor) in enumerate(self.processors.items()):
+            result = processor(
+                out,
+                **processors_kwargs[k],
+                **_maybe_key(processor, noise_key, i),
+            )
             out, inter = _split_output(result)
             if inter is not None:
                 intermediates[k] = inter
@@ -90,7 +110,9 @@ class ParallelMix:
         self.activation = activation
         self.mult = 1.0 / (math.log(2) * len(self.processors))
 
-    def __call__(self, input_signals, parallel_weights, **processors_kwargs):
+    def __call__(
+        self, input_signals, parallel_weights, noise_key=None, **processors_kwargs
+    ):
         if self.activation == "softmax":
             weights = jax.nn.softmax(parallel_weights, axis=-1)
         else:
@@ -100,7 +122,11 @@ class ParallelMix:
         intermediates = {}
         for i, (k, processor) in enumerate(self.processors.items()):
             out, inter = _split_output(
-                processor(input_signals, **processors_kwargs[k])
+                processor(
+                    input_signals,
+                    **processors_kwargs[k],
+                    **_maybe_key(processor, noise_key, i),
+                )
             )
             if inter is not None:
                 intermediates[k] = inter
@@ -121,9 +147,13 @@ class GainStagingRegularization:
         self.processor = processor
         self.key = key
 
-    def __call__(self, input_signals, **processor_kwargs):
+    def __call__(self, input_signals, noise_key=None, **processor_kwargs):
         out, intermediates = _split_output(
-            self.processor(input_signals, **processor_kwargs)
+            self.processor(
+                input_signals,
+                **processor_kwargs,
+                **_maybe_key(self.processor, noise_key),
+            )
         )
         intermediates = {} if intermediates is None else dict(intermediates)
         assert self.key not in intermediates

@@ -11,6 +11,24 @@ def rms_difference(X, Y, eps=1e-7):
     return jnp.sum(jnp.abs(X_rms - Y_rms))
 
 
+def accepts_noise_key(processor):
+    """True if ``processor``'s call signature has an explicit
+    ``noise_key`` parameter (the stochastic-processor contract: reverbs
+    with per-call noise resampling, reference: reverb.py:101-114 and
+    :410-418, and containers that forward the key).  Used by the render
+    executor to decide which per-stage processors receive a derived RNG
+    key; detection is by explicit name, never ``**kwargs``, so parameter
+    dicts are never polluted."""
+    import inspect
+
+    target = processor if inspect.isroutine(processor) else type(processor).__call__
+    try:
+        sig = inspect.signature(target)
+    except (TypeError, ValueError):
+        return False
+    return "noise_key" in sig.parameters
+
+
 def normalize_impulse(ir, eps=1e-12):
     """Normalize an IR batch ``(B, C, L)`` to unit mean channel energy."""
     assert ir.ndim == 3

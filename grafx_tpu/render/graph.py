@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from grafx_tpu.data.configs import UTILITY_TYPES
+from grafx_tpu.processors.core.utils import accepts_noise_key
 from grafx_tpu.render.core import (
     aggregate_tensor,
     create_signal_buffer,
@@ -44,6 +45,13 @@ def _row_sources(render_data):
             continue
         rows = range(dw.idx[0], dw.idx[1]) if dw.method == "slice" else dw.idx
         for p, r in enumerate(rows):
+            if r in row_src:
+                raise ValueError(
+                    f"Render plan writes buffer row {r} twice (stages"
+                    f" {row_src[r][0]} and {j}); 'stages' buffer mode"
+                    " requires single-assignment rows — use"
+                    " buffer_mode='array' for plans that reuse rows."
+                )
             row_src[r] = (j, p)
     return row_src
 
@@ -56,7 +64,14 @@ def _read_rows_from_stages(stage_outputs, rows, row_src, dim):
     which XLA folds into the consumer — zero data movement)."""
     runs = []  # (stage, lo, hi)
     for r in rows:
-        j, p = row_src[r]
+        try:
+            j, p = row_src[r]
+        except KeyError:
+            raise ValueError(
+                f"Render plan reads buffer row {r} which no stage writes"
+                " (malformed plan: an edge references a node output that"
+                " is never produced)."
+            ) from None
         if runs and runs[-1][0] == j and runs[-1][2] == p:
             runs[-1][2] = p + 1
         else:
@@ -85,6 +100,7 @@ def render_grafx(
     parameters_grad=True,  # accepted for API parity; unused in JAX
     input_signal_grad=False,  # accepted for API parity; unused in JAX
     buffer_mode="auto",
+    rng=None,
 ):
     """Render an audio graph.
 
@@ -97,6 +113,14 @@ def render_grafx(
         render_data: the static :class:`RenderData` plan.
         common_parameters: optional tensor/dict with dim-0 size ``|V|``
             shared across all node types.
+        rng: optional ``jax.random`` key.  Each stage whose processor
+            declares a ``noise_key`` parameter receives a distinct key
+            derived by ``fold_in(rng, stage)``, restoring the
+            reference's per-call noise resampling (reference:
+            reverb.py:101-114, :410-418 — free in eager torch, but
+            under ``jit`` noise must be threaded explicitly).  With
+            ``rng=None`` such processors fall back to their fixed
+            trace-time noise.
         buffer_mode: ``"stages"`` keeps every stage's output as its own
             array and resolves reads as static slices into them (no
             threaded buffer array, no update-slice traffic);
@@ -123,6 +147,12 @@ def render_grafx(
     # rows and receives the slice via ``_cache=``.  Types appearing in
     # several stages (console chains + buses + master) would otherwise
     # re-emit the whole kernel-build op stream per stage.
+    rng_types = (
+        {t for t, p in processors.items() if accepts_noise_key(p)}
+        if rng is not None
+        else set()
+    )
+
     precomputed = {}
     for _type, _proc in processors.items():
         if hasattr(_proc, "precompute") and _type in per_type_parameters:
@@ -207,6 +237,9 @@ def render_grafx(
                 )
             else:
                 common_i = {}
+            if node_type in rng_types:
+                common_i = dict(common_i)
+                common_i["noise_key"] = jax.random.fold_in(rng, i)
             if node_type in precomputed:
                 cache_i = read_tensor_or_tensor_dict(
                     precomputed[node_type],
@@ -314,8 +347,8 @@ def make_render_fn(
     """Build a render closure over static (processors, plan).
 
     The returned function has signature
-    ``f(input_signals, per_type_parameters, common_parameters=None)`` and
-    is jit-compiled once per (plan, shapes) pair.  Closures are cached by
+    ``f(input_signals, per_type_parameters, common_parameters=None,
+    rng=None)`` and is jit-compiled once per (plan, shapes) pair.  Closures are cached by
     (plan, processor static configs): two graphs with identical schedules
     and identically-configured processors share one compiled program
     (SURVEY.md §7 hard part 3 — every distinct plan is otherwise a
@@ -331,7 +364,9 @@ def make_render_fn(
     if cached is not None:
         return cached
 
-    def render_fn(input_signals, per_type_parameters, common_parameters=None):
+    def render_fn(
+        input_signals, per_type_parameters, common_parameters=None, rng=None
+    ):
         return render_grafx(
             processors,
             input_signals,
@@ -339,6 +374,7 @@ def make_render_fn(
             render_data,
             common_parameters=common_parameters,
             buffer_mode=buffer_mode,
+            rng=rng,
         )
 
     if jit and render_data.method != "one-by-one":

@@ -559,3 +559,81 @@ def test_random_graph_schedules_and_modes_agree(seed):
     plan = prepare_render(G_t)
     o_arr, _, _ = render_grafx(types, x, params, plan, buffer_mode="array")
     np.testing.assert_allclose(np.asarray(o_arr), outs[0], rtol=1e-5, atol=1e-6)
+
+
+def test_render_rng_threading():
+    """rng= threads per-stage noise keys to stochastic processors
+    (reference: reverb.py:101-114 resamples noise every forward; under
+    jit the key must be threaded explicitly).  Same key => identical
+    render; different keys => different reverb noise; rng=None =>
+    trace-time-frozen noise, still deterministic."""
+    from grafx_tpu.processors import STFTMaskedNoiseReverb
+
+    config = NodeConfigs(["reverb"])
+    G = GRAFX(config=config)
+    G.add_serial_chain(["in", "reverb", "out"])
+    procs = {
+        "reverb": STFTMaskedNoiseReverb(
+            ir_len=2048, fixed_noise=False, processor_channel="stereo"
+        )
+    }
+    G_t = reorder_for_fast_render(convert_to_tensor(G), method="greedy")
+    plan = prepare_render(G_t)
+    params = create_empty_parameters(procs, G, key=jax.random.PRNGKey(0))
+    render = make_render_fn(procs, plan)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 2**12))
+    k1, k2 = jax.random.PRNGKey(10), jax.random.PRNGKey(20)
+    out_a, _, _ = render(x, params, rng=k1)
+    out_b, _, _ = render(x, params, rng=k1)
+    out_c, _, _ = render(x, params, rng=k2)
+    out_none, _, _ = render(x, params)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b))
+    assert np.abs(np.asarray(out_a) - np.asarray(out_c)).max() > 1e-7
+    assert not np.isnan(np.asarray(out_none)).any()
+
+    # gradients flow with a live rng
+    def loss(p):
+        o, _, _ = render(x, p, rng=k1)
+        return jnp.mean(o**2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_render_rng_through_containers():
+    """Containers forward the per-stage key to wrapped stochastic
+    processors, with distinct subkeys per chain position."""
+    from grafx_tpu.processors import (
+        FilteredNoiseShapingReverb,
+        SerialChain,
+        StereoGain,
+    )
+
+    chain = SerialChain(
+        {
+            "gain": StereoGain(),
+            "rev": FilteredNoiseShapingReverb(
+                ir_len=1500,
+                num_bands=4,
+                noise_randomness="pseudo-random",
+                processor_channel="stereo",
+            ),
+        }
+    )
+    config = NodeConfigs(["fx"])
+    G = GRAFX(config=config)
+    G.add_serial_chain(["in", "fx", "out"])
+    procs = {"fx": chain}
+    G_t = reorder_for_fast_render(convert_to_tensor(G), method="greedy")
+    plan = prepare_render(G_t)
+    params = create_empty_parameters(procs, G, key=jax.random.PRNGKey(0))
+    render = make_render_fn(procs, plan)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 2**12))
+    out_a, _, _ = render(x, params, rng=jax.random.PRNGKey(3))
+    out_b, _, _ = render(x, params, rng=jax.random.PRNGKey(3))
+    out_c, _, _ = render(x, params, rng=jax.random.PRNGKey(4))
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b))
+    assert np.abs(np.asarray(out_a) - np.asarray(out_c)).max() > 1e-7

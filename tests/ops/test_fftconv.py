@@ -55,3 +55,38 @@ def test_overlap_save_matches_direct_causal():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-3
         )
+
+
+@pytest.mark.parametrize("mode", ["causal", "zerophase", "full"])
+@pytest.mark.parametrize("pad_mode", ["pow2", "min"])
+def test_custom_vjp_matches_autodiff(mode, pad_mode):
+    """The shared-spectra custom VJP must equal plain autodiff gradients
+    to float round-off, including channel broadcasting (mono filter on
+    stereo signal and vice versa)."""
+    import jax
+
+    from grafx_tpu.ops import fftconv
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(3, 1, 400).astype(np.float32))
+    h = jnp.asarray(rng.randn(3, 2, 77).astype(np.float32))
+    dy_key = jax.random.PRNGKey(0)
+
+    def loss_custom(x, h):
+        y = fftconv._fft_convolve_shared_vjp(x, h, mode, pad_mode)
+        w = jax.random.normal(dy_key, y.shape)
+        return jnp.sum(y * w)
+
+    def loss_auto(x, h):
+        y, _, _ = fftconv._fft_convolve_spectra(x, h, mode, pad_mode)
+        w = jax.random.normal(dy_key, y.shape)
+        return jnp.sum(y * w)
+
+    y_c = fftconv._fft_convolve_shared_vjp(x, h, mode, pad_mode)
+    y_a, _, _ = fftconv._fft_convolve_spectra(x, h, mode, pad_mode)
+    np.testing.assert_allclose(np.asarray(y_c), np.asarray(y_a), atol=1e-6)
+
+    gx_c, gh_c = jax.grad(loss_custom, argnums=(0, 1))(x, h)
+    gx_a, gh_a = jax.grad(loss_auto, argnums=(0, 1))(x, h)
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_a), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gh_c), np.asarray(gh_a), rtol=1e-4, atol=1e-4)

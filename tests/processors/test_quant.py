@@ -57,11 +57,14 @@ def load_real_sample(name, length=2**16):
         x = np.stack([x, x], axis=1)
     x = x.T  # (C, T)
     if sr != SR:
-        # cheap polyphase-free resample via linear interp (fixture only)
-        t_new = np.arange(int(x.shape[1] * SR / sr)) * (sr / SR)
-        lo = np.clip(t_new.astype(np.int64), 0, x.shape[1] - 2)
-        frac = (t_new - lo).astype(np.float32)
-        x = x[:, lo] * (1 - frac) + x[:, lo + 1] * frac
+        # anti-aliased polyphase resample (the tier exists for human
+        # spectrogram inspection; linear interp would alias HF content)
+        from math import gcd
+
+        from scipy.signal import resample_poly
+
+        g = gcd(SR, sr)
+        x = resample_poly(x, SR // g, sr // g, axis=1).astype(np.float32)
     reps = -(-length // x.shape[1])
     x = np.tile(x, (1, reps))[:, :length]
     peak = np.abs(x).max() + 1e-9
