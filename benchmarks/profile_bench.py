@@ -115,7 +115,54 @@ def summarize(log_dir, top=25):
     return per_cat, per_op
 
 
+def main_config2():
+    """Profile BASELINE config 2 (zero-phase EQ + 60k reverb, batch 16)
+    instead of the console: ``python benchmarks/profile_bench.py c2``."""
+    import jax.numpy as jnp
+
+    from grafx_tpu.data import GRAFX, NodeConfigs, convert_to_tensor
+    from grafx_tpu.processors import NewZeroPhaseFIREqualizer, STFTMaskedNoiseReverb
+    from grafx_tpu.render import (
+        make_render_fn,
+        prepare_render,
+        reorder_for_fast_render,
+    )
+    from grafx_tpu.utils import create_empty_parameters, enable_compilation_cache
+
+    enable_compilation_cache()
+    procs = {
+        "zpeq": NewZeroPhaseFIREqualizer(num_frequency_bins=1024),
+        "reverb": STFTMaskedNoiseReverb(ir_len=60000),
+    }
+    G = GRAFX(config=NodeConfigs(sorted(procs)))
+    G.add_serial_chain(["in", "zpeq", "reverb", "out"])
+    G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
+    plan = prepare_render(G_t)
+    params = create_empty_parameters(procs, G, key=jax.random.PRNGKey(0))
+    render = make_render_fn(procs, plan, jit=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 1, 2, 5 * 44100))
+
+    @jax.jit
+    def train_step(p):
+        def loss_fn(p):
+            out, _, _ = render(x, p)
+            return jnp.mean(out**2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        p = jax.tree.map(lambda w, g: w - 1e-3 * g, p, grads)
+        return loss, p
+
+    steps = 3
+    log_dir = capture(train_step, params, steps=steps)
+    per_cat, _ = summarize(log_dir)
+    print(f"\nper-step by category (trace / {steps}):")
+    for cat, t in per_cat.most_common():
+        print(f"{t * 1e3 / steps:9.2f} ms  {cat}")
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "c2":
+        return main_config2()
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else None
     import bench
 

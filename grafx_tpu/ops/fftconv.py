@@ -154,42 +154,91 @@ class FIRConvolution:
         return fft_convolve(input_signals, fir, mode=self.mode, pad_mode=self.pad_mode)
 
 
+def conv_stream_zero_tail(lead_shape, h_len, dtype=jnp.float32):
+    """Initial (zero) overlap-add tail for :func:`fft_convolve_stream`:
+    shape ``lead_shape + (h_len - 1,)``."""
+    return jnp.zeros(tuple(lead_shape) + (max(h_len - 1, 0),), dtype)
+
+
+def fft_convolve_stream(x, h, tail):
+    """One block of a streaming causal FIR convolution (overlap-add).
+
+    Computes the full linear convolution of the block and folds the
+    carried tail in: ``acc = conv_full(x, h); acc[:L_tail] += tail``;
+    the first ``B`` samples are this block's output, the remaining
+    ``L_h - 1`` are the next tail.  Streaming any block split this way
+    reproduces the one-shot ``fft_convolve(mode="causal")`` output
+    exactly (to float round-off) — the conv side of the streaming
+    renderer (reference behavior: core/convolution.py:119-134; streaming
+    itself is beyond the reference).
+
+    Args:
+        x: block ``(..., B)``.
+        h: FIR ``(..., L_h)`` (any length vs ``B`` — tails longer than
+            the block simply span several future blocks).
+        tail: carried tail ``(..., L_h - 1)`` from the previous step
+            (:func:`conv_stream_zero_tail` initially).
+
+    Returns:
+        ``(y_block (..., B), new_tail (..., L_h - 1))``.
+    """
+    B = x.shape[-1]
+    Lt = h.shape[-1] - 1
+    full = fft_convolve(x, h, mode="full")[..., : B + Lt]
+    if Lt:
+        acc = full + jnp.pad(
+            tail, [(0, 0)] * (tail.ndim - 1) + [(0, B)]
+        )
+    else:
+        acc = full
+    return acc[..., :B], acc[..., B:]
+
+
 def fft_convolve_os(x, h, mode: str = "causal", block: int = None):
-    """Overlap-save blocked FFT convolution (causal, cropped to ``L_x``).
+    """Overlap-save blocked FFT convolution, cropped to ``L_x``.
 
     Runs several shorter transforms (each ``next_pow2(block + L_h - 1)``)
     instead of one big one.  Exact (same result as :func:`fft_convolve`
-    causal mode to float round-off).  Measured performance-neutral on
-    the TPU v5e config-2 workload (XLA's long-1D FFT throughput is the
-    binding constraint either way); useful as a memory knob for very
-    long signals and as the building block for streaming.
+    to float round-off).  For long filters (60k reverb tails) this was
+    measured performance-neutral on TPU v5e (the blocks are still long
+    FFTs); for SHORT filters it replaces one pathological long-1D
+    XLA FFT with many small well-tiled ones — see
+    benchmarks/conv_variants.py for the measured crossover.
 
     Args:
         x: ``(..., L_x)``; h: ``(..., L_h)`` (any ``block`` works: the
-            FFT length ``next_pow2(block + L_h - 1)`` confines circular
-            wrap-around to the discarded first ``L_h - 1`` samples).
+            FFT length confines circular wrap-around to the discarded
+            leading samples of each block).
+        mode: ``"causal"`` or ``"zerophase"`` (centered crop, matching
+            :func:`fft_convolve`).
         block: output hop per FFT block; default picks
             ``next_pow2(L_h)`` so the FFT length is ``2 * next_pow2(L_h)``.
     """
-    if mode != "causal":
-        raise ValueError("fft_convolve_os supports causal mode only")
     L = x.shape[-1]
     Lh = h.shape[-1]
+    if mode == "causal":
+        shift = 0
+    elif mode == "zerophase":
+        shift = Lh // 2
+    else:
+        raise ValueError(f"Unsupported overlap-save mode: {mode}")
     if block is None:
         block = max(next_pow2(Lh), 4096)
-    nfft = next_pow2(block + Lh - 1)
+    nfft = next_pow2(block + Lh - 1 + shift)
     nb = -(-L // block)
-    pad_tail = nb * block - L
+    pad_tail = nb * block - L + shift + (nfft - block - Lh + 1)
     lead = [(0, 0)] * (x.ndim - 1)
     xp = jnp.pad(x, lead + [(Lh - 1, pad_tail)])
     segs = jnp.stack(
         [
-            jax.lax.dynamic_slice_in_dim(xp, k * block, block + Lh - 1, axis=-1)
+            jax.lax.dynamic_slice_in_dim(
+                xp, k * block, nfft, axis=-1
+            )
             for k in range(nb)
         ],
         axis=-2,
-    )  # (..., nb, block + Lh - 1)
+    )  # (..., nb, nfft)
     X = jnp.fft.rfft(segs, n=nfft)
     H = jnp.fft.rfft(h, n=nfft)[..., None, :]
-    y = jnp.fft.irfft(X * H, n=nfft)[..., Lh - 1 : Lh - 1 + block]
+    y = jnp.fft.irfft(X * H, n=nfft)[..., Lh - 1 + shift : Lh - 1 + shift + block]
     return y.reshape(x.shape[:-1] + (nb * block,))[..., :L]

@@ -412,12 +412,23 @@ def _biquad_block_stage(x, bk, ak, T):
     return _biquad_block_stage_apply(x, _stage_eigen_kernels(bk, ak, T), T)
 
 
-def _biquad_block_stage_apply(x, kernels, T, toeplitz=None):
-    """Data path of :func:`_biquad_block_stage` on prebuilt kernels."""
+def _biquad_block_stage_apply(
+    x, kernels, T, toeplitz=None, state_in=None, return_state=False
+):
+    """Data path of :func:`_biquad_block_stage` on prebuilt kernels.
+
+    ``state_in``/``return_state``: ``(N, 2)`` eigenbasis state carried
+    across calls (streaming); ``return_state`` requires ``L % T == 0``.
+    """
     h, K_out, K_in, M = kernels
     N, L = x.shape
     num_blocks = -(-L // T)
     pad = num_blocks * T - L
+    if return_state and pad:
+        raise ValueError(
+            f"return_state requires the signal length ({L}) to be a"
+            f" multiple of the block size ({T})."
+        )
     xp = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
     xb = xp.reshape(N, num_blocks, T)
 
@@ -435,6 +446,10 @@ def _biquad_block_stage_apply(x, kernels, T, toeplitz=None):
 
     # State injected by each block (MXU): t_in[k] = sum_i K_in[:, i] u[k, i]
     s_in = jnp.einsum("nbt,nst->nbs", xb, K_in, precision=PREC_APPLY)  # (N, NB, 2)
+    if state_in is not None:
+        s_in = s_in.at[:, 0].add(
+            jnp.einsum("nij,nj->ni", M, state_in, precision=PREC)
+        )
 
     # Propagate states across blocks: t_{k+1} = M t_k + t_in[k], t_0 = 0;
     # scalar-component affine associative scan over the block axis (M is
@@ -461,11 +476,16 @@ def _biquad_block_stage_apply(x, kernels, T, toeplitz=None):
     scanned = jax.lax.associative_scan(
         combine, (m11, m12, m21, m22, s_in[..., 0], s_in[..., 1]), axis=1
     )
-    zeros = jnp.zeros_like(scanned[4][:, :1])
+    if state_in is None:
+        first0 = jnp.zeros_like(scanned[4][:, :1])
+        first1 = jnp.zeros_like(scanned[5][:, :1])
+    else:
+        first0 = state_in[:, 0:1]
+        first1 = state_in[:, 1:2]
     s_enter = jnp.stack(
         [
-            jnp.concatenate([zeros, scanned[4][:, :-1]], axis=1),
-            jnp.concatenate([zeros, scanned[5][:, :-1]], axis=1),
+            jnp.concatenate([first0, scanned[4][:, :-1]], axis=1),
+            jnp.concatenate([first1, scanned[5][:, :-1]], axis=1),
         ],
         axis=-1,
     )  # (N, NB, 2)
@@ -474,6 +494,8 @@ def _biquad_block_stage_apply(x, kernels, T, toeplitz=None):
     y_is = jnp.einsum("nbs,nst->nbt", s_enter, K_out, precision=PREC_APPLY)
 
     y = (y_zs + y_is).reshape(N, num_blocks * T)
+    if return_state:
+        return y[:, :L], jnp.stack([scanned[4][:, -1], scanned[5][:, -1]], -1)
     return y[:, :L]
 
 
@@ -545,10 +567,20 @@ def biquad_exact_build(Bs, As, block_size: int = 128):
     return cache
 
 
-def biquad_exact_apply(x, cache, block_size: int = 128):
+def biquad_exact_apply(
+    x, cache, block_size: int = 128, state_in=None, return_state=False
+):
     """Apply kernels from :func:`biquad_exact_build` to ``(N, L)``
     signals.  Exact for any ``L`` (shorter signals just waste block
-    padding)."""
+    padding).
+
+    ``state_in``/``return_state`` carry the filter state across calls
+    for block-wise streaming (``return_state`` requires ``L`` to be a
+    multiple of ``block_size``).  The state layout matches the cache:
+    ``(N, S)`` for the single-pass cascade (``S = 2 K``), ``(N, K, 2)``
+    for the per-stage path; :func:`biquad_exact_zero_state` builds the
+    initial zeros.
+    """
     T = block_size
     if "H" in cache:
         return _biquad_block_cascade_apply(
@@ -556,9 +588,12 @@ def biquad_exact_apply(x, cache, block_size: int = 128):
             (cache["H"], cache["W"], cache["V"], cache["A"]),
             T,
             toeplitz=cache.get("Toep"),
+            state_in=state_in,
+            return_state=return_state,
         )
     y = x
     toep = cache.get("Toep")
+    states_out = []
     for k in range(cache["h"].shape[1]):
         kernels = (
             cache["h"][:, k],
@@ -566,10 +601,32 @@ def biquad_exact_apply(x, cache, block_size: int = 128):
             cache["K_in"][:, k],
             cache["M"][:, k],
         )
-        y = _biquad_block_stage_apply(
-            y, kernels, T, toeplitz=None if toep is None else toep[:, k]
+        result = _biquad_block_stage_apply(
+            y,
+            kernels,
+            T,
+            toeplitz=None if toep is None else toep[:, k],
+            state_in=None if state_in is None else state_in[:, k],
+            return_state=return_state,
         )
+        if return_state:
+            y, s_k = result
+            states_out.append(s_k)
+        else:
+            y = result
+    if return_state:
+        return y, jnp.stack(states_out, axis=1)
     return y
+
+
+def biquad_exact_zero_state(cache, num_signals):
+    """Zero initial state matching ``cache``'s layout for
+    :func:`biquad_exact_apply` streaming."""
+    if "H" in cache:
+        S = cache["W"].shape[-2]
+        return jnp.zeros((num_signals, S), cache["W"].dtype)
+    K = cache["h"].shape[1]
+    return jnp.zeros((num_signals, K, 2), cache["h"].dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -787,12 +844,25 @@ def _propagate_states_bwd(res, g):
 _propagate_states.defvjp(_propagate_states_fwd, _propagate_states_bwd)
 
 
-def _biquad_block_cascade_apply(x, kernels, T, toeplitz=None):
-    """Data path of :func:`_biquad_block_cascade` on prebuilt kernels."""
+def _biquad_block_cascade_apply(
+    x, kernels, T, toeplitz=None, state_in=None, return_state=False
+):
+    """Data path of :func:`_biquad_block_cascade` on prebuilt kernels.
+
+    ``state_in``/``return_state`` thread the ``S``-dim eigenbasis state
+    across calls for block-wise streaming; ``return_state`` requires
+    ``L % T == 0`` (zero-padding a partial final block would evolve the
+    carried state past sample ``L``).
+    """
     H_cas, W, V, A_blk = kernels
     N, L = x.shape
     num_blocks = -(-L // T)
     pad = num_blocks * T - L
+    if return_state and pad:
+        raise ValueError(
+            f"return_state requires the signal length ({L}) to be a"
+            f" multiple of the block size ({T})."
+        )
     xp = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
     xb = xp.reshape(N, num_blocks, T)
 
@@ -810,17 +880,27 @@ def _biquad_block_cascade_apply(x, kernels, T, toeplitz=None):
 
     # (2) per-block state injection (MXU)
     s_in = jnp.einsum("nbt,nst->nbs", xb, W, precision=PREC_APPLY)  # (N, NB, S)
+    if state_in is not None:
+        s_in = s_in.at[:, 0].add(
+            jnp.einsum("nij,nj->ni", A_blk, state_in, precision=PREC)
+        )
 
     # (3) cross-block state propagation (custom VJP; see
     # _propagate_states)
     s_after = _propagate_states(s_in, A_blk)
-    zeros = jnp.zeros_like(s_after[:, :1])
-    s_enter = jnp.concatenate([zeros, s_after[:, :-1]], axis=1)  # (N, NB, S)
+    first = (
+        jnp.zeros_like(s_after[:, :1])
+        if state_in is None
+        else state_in[:, None]
+    )
+    s_enter = jnp.concatenate([first, s_after[:, :-1]], axis=1)  # (N, NB, S)
 
     # (4) initial-state responses (MXU)
     y_is = jnp.einsum("nbs,nst->nbt", s_enter, V, precision=PREC_APPLY)
 
     y = (y_zs + y_is).reshape(N, num_blocks * T)
+    if return_state:
+        return y[:, :L], s_after[:, -1]
     return y[:, :L]
 
 
@@ -829,7 +909,9 @@ def _biquad_block_cascade_apply(x, kernels, T, toeplitz=None):
 # ---------------------------------------------------------------------------
 
 
-def onepole_exact(x, alpha, block_size: int = 1024):
+def onepole_exact(
+    x, alpha, block_size: int = 1024, state_in=None, return_state=False
+):
     """Exact one-pole smoother ``y[n] = alpha y[n-1] + (1 - alpha) x[n]``.
 
     Blocked closed-form analogue of :func:`biquad_exact` for first-order
@@ -840,6 +922,12 @@ def onepole_exact(x, alpha, block_size: int = 1024):
     Args:
         x: ``(N, L)``.
         alpha: ``(N,)`` in ``(0, 1)``.
+        state_in: optional ``(N,)`` previous output sample ``y[-1]``
+            (streaming continuation; defaults to zero).
+        return_state: also return ``y[L-1]`` as the carried state, for
+            block-wise streaming.  Requires ``L`` to be a multiple of
+            the internal block length only for efficiency, not
+            correctness (the final state is read from ``y`` directly).
     """
     N, L = x.shape
     T = min(block_size, next_pow2(L))
@@ -860,6 +948,8 @@ def onepole_exact(x, alpha, block_size: int = 1024):
     # s_in[k] = sum_i alpha^{T-1-i} (1-alpha) u[k, i]
     F = h[:, ::-1]  # (N, T)
     s_in = jnp.einsum("nbt,nt->nb", xb, F, precision=PREC_APPLY)
+    if state_in is not None:
+        s_in = s_in.at[:, 0].add(alpha_T * state_in)
 
     m = jnp.broadcast_to(alpha_T[:, None], (N, num_blocks))
 
@@ -869,11 +959,17 @@ def onepole_exact(x, alpha, block_size: int = 1024):
         return m2 * m1, m2 * v1 + v2
 
     _, s_after = jax.lax.associative_scan(combine, (m, s_in), axis=1)
-    s_enter = jnp.concatenate(
-        [jnp.zeros_like(s_after[:, :1]), s_after[:, :-1]], axis=1
+    first = (
+        jnp.zeros_like(s_after[:, :1])
+        if state_in is None
+        else state_in[:, None]
     )
+    s_enter = jnp.concatenate([first, s_after[:, :-1]], axis=1)
 
     y = (y_zs + powers[:, None, :] * alpha[:, None, None] * s_enter[..., None]).reshape(
         N, num_blocks * T
     )
-    return y[:, :L]
+    y = y[:, :L]
+    if return_state:
+        return y, y[:, -1]
+    return y

@@ -31,6 +31,26 @@ def _maybe_key(processor, noise_key, i=0):
     return {"noise_key": jax.random.fold_in(noise_key, i)}
 
 
+def _inner_stream_init(processor, num_channels, block_len, params, noise_key, i):
+    """Streaming-contract dispatch for a wrapped processor: stateful
+    inners get ``stream_init``; memoryless inners are marked to be
+    called through ``__call__`` per block (render/streaming.py)."""
+    if hasattr(processor, "stream_init"):
+        kwargs = dict(params)
+        kwargs.update(_maybe_key(processor, noise_key, i))
+        state, cache = processor.stream_init(num_channels, block_len, **kwargs)
+        return state, ("stream", cache)
+    return None, ("call", dict(params))
+
+
+def _inner_stream_step(processor, x, state, tagged_cache):
+    kind, cache = tagged_cache
+    if kind == "stream":
+        return processor.stream_step(x, state, cache)
+    out, _ = _split_output(processor(x, **cache))
+    return out, state
+
+
 class DryWet:
     """Mix the wrapped processor's wet output with the dry input via a
     sigmoid weight (reference: container.py:10-82).
@@ -61,6 +81,21 @@ class DryWet:
             return mixed, intermediates
         return mixed
 
+    def stream_init(
+        self, num_channels, block_len, drywet_weight=None, noise_key=None,
+        **processor_kwargs,
+    ):
+        state, cache = _inner_stream_init(
+            self.processor, num_channels, block_len, processor_kwargs,
+            noise_key, 0,
+        )
+        return state, {"inner": cache, "w": drywet_weight}
+
+    def stream_step(self, x, state, cache):
+        out, state = _inner_stream_step(self.processor, x, state, cache["inner"])
+        w = jax.nn.sigmoid(cache["w"]).reshape(-1, 1, 1)
+        return w * out + (1.0 - w) * x, state
+
     def parameter_size(self):
         size = dict(self.processor.parameter_size())
         if not self.external_param:
@@ -88,6 +123,23 @@ class SerialChain:
             if inter is not None:
                 intermediates[k] = inter
         return out, intermediates
+
+    def stream_init(self, num_channels, block_len, noise_key=None, **kwargs):
+        states, caches = {}, {}
+        for i, (k, processor) in enumerate(self.processors.items()):
+            states[k], caches[k] = _inner_stream_init(
+                processor, num_channels, block_len, kwargs[k], noise_key, i
+            )
+        return states, caches
+
+    def stream_step(self, x, state, cache):
+        out = x
+        new_state = {}
+        for k, processor in self.processors.items():
+            out, new_state[k] = _inner_stream_step(
+                processor, out, state[k], cache[k]
+            )
+        return out, new_state
 
     def parameter_size(self):
         return {k: v.parameter_size() for k, v in self.processors.items()}
@@ -133,6 +185,32 @@ class ParallelMix:
             outputs.append(out * weights[..., i, None, None])
         return sum(outputs), intermediates
 
+    def stream_init(
+        self, num_channels, block_len, parallel_weights=None, noise_key=None,
+        **kwargs,
+    ):
+        states, caches = {}, {}
+        for i, (k, processor) in enumerate(self.processors.items()):
+            states[k], caches[k] = _inner_stream_init(
+                processor, num_channels, block_len, kwargs[k], noise_key, i
+            )
+        return states, {"inner": caches, "parallel_weights": parallel_weights}
+
+    def stream_step(self, x, state, cache):
+        pw = cache["parallel_weights"]
+        if self.activation == "softmax":
+            weights = jax.nn.softmax(pw, axis=-1)
+        else:
+            weights = jax.nn.softplus(pw) * self.mult
+        outputs = []
+        new_state = {}
+        for i, (k, processor) in enumerate(self.processors.items()):
+            out, new_state[k] = _inner_stream_step(
+                processor, x, state[k], cache["inner"][k]
+            )
+            outputs.append(out * weights[..., i, None, None])
+        return sum(outputs), new_state
+
     def parameter_size(self):
         size = {k: v.parameter_size() for k, v in self.processors.items()}
         size["parallel_weights"] = len(self.processors)
@@ -159,6 +237,16 @@ class GainStagingRegularization:
         assert self.key not in intermediates
         intermediates[self.key] = rms_difference(input_signals, out)
         return out, intermediates
+
+    def stream_init(self, num_channels, block_len, noise_key=None, **kwargs):
+        # the gain-staging aux loss is training-time only; streaming just
+        # passes through the wrapped processor
+        return _inner_stream_init(
+            self.processor, num_channels, block_len, kwargs, noise_key, 0
+        )
+
+    def stream_step(self, x, state, cache):
+        return _inner_stream_step(self.processor, x, state, cache)
 
     def parameter_size(self):
         return self.processor.parameter_size()

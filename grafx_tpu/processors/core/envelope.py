@@ -52,6 +52,27 @@ class TruncatedOnePoleIIRFilter:
         decay = jnp.exp(n * log_alpha)
         return (1.0 - alpha) * decay
 
+    # -- streaming -----------------------------------------------------
+
+    def stream_zero_state(self, batch_size):
+        """Carried state (previous raw output sample) for block-wise
+        streaming; requires the exact backend (the truncated-FIR
+        approximation has no compact state)."""
+        if not self.exact:
+            raise NotImplementedError(
+                "streaming requires the exact one-pole backend"
+                " (TruncatedOnePoleIIRFilter(exact=True))."
+            )
+        return jnp.zeros(batch_size)
+
+    def stream(self, input_signals, state, z_alpha):
+        alpha = jax.nn.sigmoid(z_alpha)
+        alpha = jnp.minimum(alpha, 1.0 - 1e-5)
+        y, state = onepole_exact(
+            input_signals, alpha[..., 0], state_in=state, return_state=True
+        )
+        return jax.nn.relu(y), state
+
 
 class Ballistics:
     """Attack/release one-pole smoother
@@ -66,3 +87,14 @@ class Ballistics:
         zi = jnp.ones(input_signals.shape[0], dtype=input_signals.dtype)
         at, rt = ts[..., 0], ts[..., 1]
         return ballistics_core(input_signals, zi, at, rt)
+
+    # -- streaming -----------------------------------------------------
+
+    def stream_zero_state(self, batch_size):
+        """Initial envelope (1, matching ``__call__``'s ``zi``)."""
+        return jnp.ones(batch_size)
+
+    def stream(self, input_signals, state, z_alpha):
+        ts = jax.nn.sigmoid(z_alpha)
+        y = ballistics_core(input_signals, state, ts[..., 0], ts[..., 1])
+        return y, y[:, -1]

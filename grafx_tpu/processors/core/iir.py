@@ -16,11 +16,16 @@ Behavioral parity with the reference ``IIRFilter``
 
 import jax.numpy as jnp
 
-from grafx_tpu.ops.fftconv import fft_convolve
+from grafx_tpu.ops.fftconv import (
+    conv_stream_zero_tail,
+    fft_convolve,
+    fft_convolve_stream,
+)
 from grafx_tpu.ops.iir import (
     biquad_exact,
     biquad_exact_apply,
     biquad_exact_build,
+    biquad_exact_zero_state,
     biquad_scan,
     iir_fsm_fir,
 )
@@ -134,3 +139,60 @@ class IIRFilter:
         else:
             y = biquad_exact(x, Bs_b, As_b, block_size=self.exact_block_size)
         return y.reshape(B, C, L)
+
+    # -- streaming (block-wise processing with carried filter state) ----
+
+    def stream_zero_state(self, cache, num_channels, block_len):
+        """Initial streaming state for :meth:`stream` given a
+        :meth:`precompute` cache and the input channel count.
+
+        ``"exact"``: the blocked filter's eigenbasis state (zeros);
+        ``"fsm"``: the FIR convolution's overlap-add tail (zeros).
+        ``block_len`` must be a multiple of ``exact_block_size`` for the
+        exact backend (checked here, once per stream).
+        """
+        if self.backend == "fsm":
+            B, C_f, fir_len = cache["firs"].shape
+            C = max(num_channels, C_f)
+            return conv_stream_zero_tail((B, C), fir_len)
+        if self.backend not in ("exact", "ssm", "lfilter"):
+            raise NotImplementedError(
+                f"streaming is not supported for backend {self.backend!r}"
+            )
+        if block_len % self.exact_block_size:
+            raise ValueError(
+                f"streaming block_len ({block_len}) must be a multiple of"
+                f" exact_block_size ({self.exact_block_size})."
+            )
+        B, C_f = next(iter(cache.values())).shape[:2]
+        C = max(num_channels, C_f)
+        return biquad_exact_zero_state(
+            {k: v.reshape((-1,) + v.shape[2:]) for k, v in cache.items()},
+            B * C,
+        )
+
+    def stream(self, input_signal, state, cache):
+        """One streaming block: ``(B, C_in, block) -> (B, C, block)``
+        plus the carried state.  Streams of blocks reproduce the
+        one-shot :meth:`__call__` output to float round-off."""
+        B, C_in, L = input_signal.shape
+        if self.backend == "fsm":
+            y, tail = fft_convolve_stream(input_signal, cache["firs"], state)
+            return y, tail
+        C_f = next(iter(cache.values())).shape[1]
+        C = max(C_in, C_f)
+        x = jnp.broadcast_to(input_signal, (B, C, L)).reshape(-1, L)
+        cache_b = {
+            k: jnp.broadcast_to(v, (B, C) + v.shape[2:]).reshape(
+                (-1,) + v.shape[2:]
+            )
+            for k, v in cache.items()
+        }
+        y, state = biquad_exact_apply(
+            x,
+            cache_b,
+            block_size=self.exact_block_size,
+            state_in=state,
+            return_state=True,
+        )
+        return y.reshape(B, C, L), state

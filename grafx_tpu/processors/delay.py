@@ -89,6 +89,30 @@ class MultitapDelay:
         irs = normalize_impulse(irs)
         return irs, {"radii_reg": radii_loss}
 
+    # -- streaming -----------------------------------------------------
+
+    def stream_init(self, num_channels, block_len, **params):
+        """Streaming contract: the tap IR is fixed per stream;
+        ``pre_delay`` folds into the IR as a leading zero pad (identical
+        to the one-shot output shift).  The aux ``radii_reg`` loss is a
+        training-time quantity and is not emitted while streaming."""
+        from grafx_tpu.ops.fftconv import conv_stream_zero_tail
+
+        ir, _ = self.get_ir(params["delay_z"], params.get("log_fir_magnitude"))
+        if self.pre_delay:
+            ir = jnp.pad(ir, ((0, 0), (0, 0), (self.pre_delay, 0)))
+        C = max(num_channels, ir.shape[1])
+        tail = conv_stream_zero_tail((ir.shape[0], C), ir.shape[-1])
+        return tail, {"h": ir, "ms": self.processor_channel == "midside"}
+
+    def stream_step(self, x, tail, cache):
+        from grafx_tpu.ops.fftconv import fft_convolve_stream
+
+        if cache["ms"]:
+            y, tail = fft_convolve_stream(lr_to_ms(x), cache["h"], tail)
+            return ms_to_lr(y), tail
+        return fft_convolve_stream(x, cache["h"], tail)
+
     def parameter_size(self):
         num_delay = (
             self.num_segments * self.num_delay_per_segment * self.num_channels

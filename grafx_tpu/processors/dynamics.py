@@ -119,6 +119,55 @@ class Compressor:
             gain = jnp.exp(log_gain)
         return gain[:, None, :] * input_signals
 
+    # -- streaming -----------------------------------------------------
+
+    def stream_init(self, num_channels, block_len, **params):
+        """Streaming contract (render/streaming.py): carry the energy
+        (and optional gain) smoother states across blocks.  Uses the
+        composed path — identical outputs to ``__call__`` — because the
+        fused kernel does not expose the final envelope."""
+        del num_channels, block_len
+        N = params["log_threshold"].shape[0]
+        e_state = (
+            None
+            if self.energy_smoother_module is None
+            else self.energy_smoother_module.stream_zero_state(N)
+        )
+        g_state = (
+            None
+            if self.gain_smoother_module is None
+            else self.gain_smoother_module.stream_zero_state(N)
+        )
+        return {"energy": e_state, "gain": g_state}, dict(params)
+
+    def stream_step(self, x, state, cache):
+        energy = jnp.mean(jnp.square(x), axis=-2)
+        e_state, g_state = state["energy"], state["gain"]
+        if self.energy_smoother_module is not None:
+            energy, e_state = self.energy_smoother_module.stream(
+                energy, e_state, z_alpha=cache.get("z_alpha_pre")
+            )
+        log_energy = jnp.log(energy + 1e-5)
+        log_gain = self.compute_gain(
+            log_energy,
+            cache["log_threshold"] - 6.0,
+            cache["log_ratio"],
+            cache.get("log_knee"),
+        )
+        if self.gain_smoother_module is not None:
+            if self.gain_smooth_in_log:
+                smoothed, g_state = self.gain_smoother_module.stream(
+                    log_gain, g_state, z_alpha=cache.get("z_alpha_post")
+                )
+                gain = jnp.exp(smoothed)
+            else:
+                gain, g_state = self.gain_smoother_module.stream(
+                    jnp.exp(log_gain), g_state, z_alpha=cache.get("z_alpha_post")
+                )
+        else:
+            gain = jnp.exp(log_gain)
+        return gain[:, None, :] * x, {"energy": e_state, "gain": g_state}
+
     def compute_gain(self, log_energy, log_threshold, log_ratio, log_knee):
         match self.knee:
             case "hard":
@@ -281,6 +330,13 @@ class FactorizedCompressor(Compressor):
                 return up.reshape(B, -1)[:, :L]
 
         self.energy_smoother_module = _FrameSmoother()
+
+    def stream_init(self, num_channels, block_len, **params):
+        raise NotImplementedError(
+            "FactorizedCompressor has no compact per-sample state"
+            " (frame-factorized smoothing); stream with"
+            " Compressor(energy_smoother='ballistics') instead."
+        )
 
 
 class ApproxCompressor:

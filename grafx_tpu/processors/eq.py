@@ -121,6 +121,19 @@ class ParametricEqualizer:
             return ms_to_lr(self.biquad(x, cache=_cache))
         return self.biquad(input_signals, cache=_cache)
 
+    def stream_init(self, num_channels, block_len, **params):
+        """Streaming contract (see render/streaming.py): build the
+        biquad kernels once, carry the filter state across blocks."""
+        cache = self.precompute(**params)
+        state = self.biquad.stream_zero_state(cache, num_channels, block_len)
+        return state, cache
+
+    def stream_step(self, x, state, cache):
+        if self.processor_channel == "midside":
+            y, state = self.biquad.stream(lr_to_ms(x), state, cache)
+            return ms_to_lr(y), state
+        return self.biquad.stream(x, state, cache)
+
     def get_biquad_coefficients(self, cos_w0, alpha, A):
         if not self.use_shelving_filters:
             return PeakingFilter.get_biquad_coefficients(cos_w0, alpha, A)
@@ -168,6 +181,17 @@ class GraphicEqualizer:
             x = lr_to_ms(input_signals)
             return ms_to_lr(self.biquad(x, cache=_cache))
         return self.biquad(input_signals, cache=_cache)
+
+    def stream_init(self, num_channels, block_len, **params):
+        cache = self.precompute(**params)
+        state = self.biquad.stream_zero_state(cache, num_channels, block_len)
+        return state, cache
+
+    def stream_step(self, x, state, cache):
+        if self.processor_channel == "midside":
+            y, state = self.biquad.stream(lr_to_ms(x), state, cache)
+            return ms_to_lr(y), state
+        return self.biquad.stream(x, state, cache)
 
     def parameter_size(self):
         n_channels = 1 if self.processor_channel == "mono" else 2

@@ -24,6 +24,25 @@ TWOR_SCALE = 1 / math.log(2)
 ALPHA_SCALE = 0.5
 
 
+class _IIRStreamMixin:
+    """Streaming contract for processors that reduce to
+    ``compute_coefficients(**params) -> (Bs, As, post_gain)`` followed by
+    the IIRFilter backend: build kernels once at stream start, carry the
+    filter state across blocks (see render/streaming.py)."""
+
+    def stream_init(self, num_channels, block_len, **params):
+        Bs, As, gain = self.compute_coefficients(**params)
+        cache = self.biquad.precompute(Bs, As)
+        state = self.biquad.stream_zero_state(cache, num_channels, block_len)
+        return state, {"iir": cache, "gain": gain}
+
+    def stream_step(self, x, state, cache):
+        y, state = self.biquad.stream(x, state, cache["iir"])
+        if cache["gain"] is not None:
+            y = cache["gain"][..., None] * y
+        return y, state
+
+
 class FIRFilter:
     """Learnable time-domain FIR (tanh-squashed, impulse-normalized) with
     mono/stereo/midside channel handling (reference: filter.py:20-84)."""
@@ -54,7 +73,7 @@ class FIRFilter:
         return {"fir": (self.num_channels, self.fir_len)}
 
 
-class BiquadFilter:
+class BiquadFilter(_IIRStreamMixin):
     """Direct biquad coefficients with the coupled-tanh stability
     activation of the feedback path (reference: filter.py:87-168)."""
 
@@ -63,7 +82,7 @@ class BiquadFilter:
         self.normalized = normalized
         self.biquad = IIRFilter(order=2, **backend_kwargs)
 
-    def __call__(self, input_signals, Bs, A1_pre, A2_pre, A0=None):
+    def compute_coefficients(self, Bs, A1_pre, A2_pre, A0=None):
         A1_act = 2.0 * jnp.tanh(A1_pre)
         A1_abs = jnp.abs(A1_act)
         A2_act = ((2.0 - A1_abs) * jnp.tanh(A2_pre) + A1_abs) / 2.0
@@ -73,7 +92,11 @@ class BiquadFilter:
             As = As * A0[..., None]
         B0 = Bs[:, :, :1]
         Bs = jnp.concatenate([B0 + 1.0, Bs[:, :, 1:]], axis=-1)
-        return self.biquad(input_signals, Bs[:, None], As[:, None])
+        return Bs[:, None], As[:, None], None
+
+    def __call__(self, input_signals, Bs, A1_pre, A2_pre, A0=None):
+        Bs, As, _ = self.compute_coefficients(Bs, A1_pre, A2_pre, A0)
+        return self.biquad(input_signals, Bs, As)
 
     def parameter_size(self):
         size = {
@@ -86,7 +109,7 @@ class BiquadFilter:
         return size
 
 
-class PoleZeroFilter:
+class PoleZeroFilter(_IIRStreamMixin):
     """Biquads from complex poles/zeros; poles shrunk into the unit disk
     via ``tanh(|z|)/|z|`` (reference: filter.py:171-255)."""
 
@@ -94,7 +117,7 @@ class PoleZeroFilter:
         self.num_filters = num_filters
         self.biquad = IIRFilter(order=2, **backend_kwargs)
 
-    def __call__(self, input_signals, log_gain, poles, zeros):
+    def compute_coefficients(self, log_gain, poles, zeros):
         gain = jnp.exp(log_gain)
 
         poles = jax.lax.complex(poles[..., 0], poles[..., 1])
@@ -107,8 +130,11 @@ class PoleZeroFilter:
         ones = jnp.ones_like(radii)
         Bs = jnp.stack([ones, -2 * zeros.real, jnp.square(zeros_radii)], -1)
         As = jnp.stack([ones, -2 * poles.real, jnp.square(jnp.abs(poles))], -1)
+        return Bs[:, None], As[:, None], gain
 
-        out = self.biquad(input_signals, Bs[:, None], As[:, None])
+    def __call__(self, input_signals, log_gain, poles, zeros):
+        Bs, As, gain = self.compute_coefficients(log_gain, poles, zeros)
+        out = self.biquad(input_signals, Bs, As)
         return gain[..., None] * out
 
     def parameter_size(self):
@@ -119,18 +145,22 @@ class PoleZeroFilter:
         }
 
 
-class StateVariableFilter:
+class StateVariableFilter(_IIRStreamMixin):
     """SVF-parameterized biquads (reference: filter.py:258-338)."""
 
     def __init__(self, num_filters=1, **backend_kwargs):
         self.num_filters = num_filters
         self.biquad = IIRFilter(order=2, **backend_kwargs)
 
-    def __call__(self, input_signals, twoR, G, c_hp, c_bp, c_lp):
+    def compute_coefficients(self, twoR, G, c_hp, c_bp, c_lp):
         G = jnp.tan(HALF_PI * jax.nn.sigmoid(G))
         twoR = TWOR_SCALE * jax.nn.softplus(twoR) + 1e-2
         Bs, As = self.get_biquad_coefficients(twoR, G, c_hp, c_bp, c_lp)
-        return self.biquad(input_signals, Bs[:, None], As[:, None])
+        return Bs[:, None], As[:, None], None
+
+    def __call__(self, input_signals, twoR, G, c_hp, c_bp, c_lp):
+        Bs, As, _ = self.compute_coefficients(twoR, G, c_hp, c_bp, c_lp)
+        return self.biquad(input_signals, Bs, As)
 
     @staticmethod
     def get_biquad_coefficients(twoR, G, c_hp, c_bp, c_lp):
@@ -155,18 +185,22 @@ class StateVariableFilter:
         }
 
 
-class BaseParametricFilter:
+class BaseParametricFilter(_IIRStreamMixin):
     """RBJ-cookbook second-order filter base
     (reference: filter.py:341-390)."""
 
     def __init__(self, **backend_kwargs):
         self.biquad = IIRFilter(order=2, **backend_kwargs)
 
-    def __call__(self, input_signals, w0, q_inv):
+    def compute_coefficients(self, w0, q_inv):
         w0, q_inv = self.filter_parameter_activations(w0, q_inv)
         cos_w0, alpha = self.compute_common_filter_parameters(w0, q_inv)
         Bs, As = self.get_biquad_coefficients(cos_w0, alpha)
-        return self.biquad(input_signals, Bs[:, None], As[:, None])
+        return Bs[:, None], As[:, None], None
+
+    def __call__(self, input_signals, w0, q_inv):
+        Bs, As, _ = self.compute_coefficients(w0, q_inv)
+        return self.biquad(input_signals, Bs, As)
 
     @staticmethod
     def get_biquad_coefficients(cos_w0, alpha):
@@ -242,18 +276,22 @@ class AllPassFilter(BaseParametricFilter):
         return Bs, As
 
 
-class BaseParametricEqualizerFilter:
+class BaseParametricEqualizerFilter(_IIRStreamMixin):
     """Gain-equipped cookbook biquad base (reference: filter.py:559-616)."""
 
     def __init__(self, num_filters=1, **backend_kwargs):
         self.num_filters = num_filters
         self.biquad = IIRFilter(order=2, **backend_kwargs)
 
-    def __call__(self, input_signals, w0, q_inv, log_gain):
+    def compute_coefficients(self, w0, q_inv, log_gain):
         w0, q_inv, A = self.filter_parameter_activations(w0, q_inv, log_gain)
         cos_w0, alpha = self.compute_common_filter_parameters(w0, q_inv)
         Bs, As = self.get_biquad_coefficients(cos_w0, alpha, A)
-        return self.biquad(input_signals, Bs[:, None], As[:, None])
+        return Bs[:, None], As[:, None], None
+
+    def __call__(self, input_signals, w0, q_inv, log_gain):
+        Bs, As, _ = self.compute_coefficients(w0, q_inv, log_gain)
+        return self.biquad(input_signals, Bs, As)
 
     @staticmethod
     def get_biquad_coefficients(cos_w0, alpha, A):

@@ -133,6 +133,36 @@ class STFTMaskedNoiseReverb:
         )
         return ir  # (B, 2, ir_len)
 
+    # -- streaming -----------------------------------------------------
+
+    def stream_init(self, num_channels, block_len, noise_key=None, **params):
+        """Streaming contract: freeze the IR once (noise drawn at init
+        when ``fixed_noise=False``), stream the causal convolution via
+        overlap-add tail carry."""
+        from grafx_tpu.ops.fftconv import conv_stream_zero_tail
+
+        ir = self.compute_ir(
+            params["init_log_magnitude"],
+            params["delta_log_magnitude"],
+            params.get("gain_env_log_magnitude"),
+            noise_key=noise_key,
+        )
+        if self.processor_channel == "pseudo_midside":
+            h = normalize_impulse(ms_to_lr(ir))
+        else:
+            h = normalize_impulse(ir)
+        C = max(num_channels, h.shape[1])
+        tail = conv_stream_zero_tail((h.shape[0], C), h.shape[-1])
+        return tail, {"h": h, "ms": self.processor_channel == "midside"}
+
+    def stream_step(self, x, tail, cache):
+        from grafx_tpu.ops.fftconv import fft_convolve_stream
+
+        if cache["ms"]:
+            y, tail = fft_convolve_stream(lr_to_ms(x), cache["h"], tail)
+            return ms_to_lr(y), tail
+        return fft_convolve_stream(x, cache["h"], tail)
+
     def compute_stft_mask(
         self, init_log_magnitude, delta_log_magnitude, gain_env_log_magnitude=None
     ):
@@ -226,6 +256,22 @@ class FilteredNoiseShapingReverb:
         z_fade_in_gain=None,
         noise_key=None,
     ):
+        ir = self.compute_ir(
+            log_decay, log_gain, log_fade_in, z_fade_in_gain, noise_key
+        )
+        if self.processor_channel == "midside":
+            x = lr_to_ms(input_signals)
+            return ms_to_lr(self.conv(x, normalize_impulse(ir)))
+        return self.conv(input_signals, normalize_impulse(ir))
+
+    def compute_ir(
+        self,
+        log_decay,
+        log_gain,
+        log_fade_in=None,
+        z_fade_in_gain=None,
+        noise_key=None,
+    ):
         log_decay = (
             jax.nn.sigmoid(log_decay) * (self.max_decay - self.min_decay)
             + self.min_decay
@@ -242,12 +288,32 @@ class FilteredNoiseShapingReverb:
             envelope = envelope - fade_in * fade_in_gain
 
         envelope = envelope * log_gain[..., None]
-        ir = (self.get_noise(noise_key) * envelope).sum(axis=2)  # (B, C, ir_len)
+        return (self.get_noise(noise_key) * envelope).sum(axis=2)  # (B, C, L)
 
-        if self.processor_channel == "midside":
-            x = lr_to_ms(input_signals)
-            return ms_to_lr(self.conv(x, normalize_impulse(ir)))
-        return self.conv(input_signals, normalize_impulse(ir))
+    # -- streaming -----------------------------------------------------
+
+    def stream_init(self, num_channels, block_len, noise_key=None, **params):
+        from grafx_tpu.ops.fftconv import conv_stream_zero_tail
+
+        ir = self.compute_ir(
+            params["log_decay"],
+            params["log_gain"],
+            params.get("log_fade_in"),
+            params.get("z_fade_in_gain"),
+            noise_key,
+        )
+        h = normalize_impulse(ir)
+        C = max(num_channels, h.shape[1])
+        tail = conv_stream_zero_tail((h.shape[0], C), h.shape[-1])
+        return tail, {"h": h, "ms": self.processor_channel == "midside"}
+
+    def stream_step(self, x, tail, cache):
+        from grafx_tpu.ops.fftconv import fft_convolve_stream
+
+        if cache["ms"]:
+            y, tail = fft_convolve_stream(lr_to_ms(x), cache["h"], tail)
+            return ms_to_lr(y), tail
+        return fft_convolve_stream(x, cache["h"], tail)
 
     def get_noise(self, noise_key=None):
         """Noise buffer for this call.  ``"pseudo-random"`` takes a random
@@ -367,6 +433,27 @@ class FeedbackDelayNetwork:
             "bcn,bfn->bcf", output_gains.astype(jnp.complex64), x
         )
         return jnp.fft.irfft(H, n=self.ir_len)  # (B, C_rev, ir_len)
+
+    # -- streaming -----------------------------------------------------
+
+    def stream_init(self, num_channels, block_len, **params):
+        from grafx_tpu.ops.fftconv import conv_stream_zero_tail
+
+        ir = self.compute_ir(
+            params["z_absorption"], params["input_gains"], params["output_gains"]
+        )
+        h = normalize_impulse(ir)
+        C = max(num_channels, h.shape[1])
+        tail = conv_stream_zero_tail((h.shape[0], C), h.shape[-1])
+        return tail, {"h": h, "ms": self.processor_channel == "midside"}
+
+    def stream_step(self, x, tail, cache):
+        from grafx_tpu.ops.fftconv import fft_convolve_stream
+
+        if cache["ms"]:
+            y, tail = fft_convolve_stream(lr_to_ms(x), cache["h"], tail)
+            return ms_to_lr(y), tail
+        return fft_convolve_stream(x, cache["h"], tail)
 
     def parameter_size(self):
         return {

@@ -3,9 +3,11 @@
 from grafx_tpu.render.graph import make_render_fn, render_grafx
 from grafx_tpu.render.order import compute_render_order, reorder_for_fast_render
 from grafx_tpu.render.prepare import RenderData, prepare_render
+from grafx_tpu.render.streaming import StreamRenderer
 
 __all__ = [
     "RenderData",
+    "StreamRenderer",
     "compute_render_order",
     "make_render_fn",
     "prepare_render",

@@ -1,0 +1,187 @@
+"""Block-wise streaming renderer: low-latency graph processing with
+carried per-node state.
+
+A genuinely new capability over the reference (which renders full-length
+signals only; see SURVEY.md §5 long-sequence mapping): the same static
+render plan (:class:`~grafx_tpu.render.prepare.RenderData`) is executed
+one audio block at a time, with every stateful processor carrying its
+state across blocks —
+
+* exact-IIR filters carry the blocked cascade's eigenbasis state
+  (``ops/iir.py`` ``state_in``/``return_state``),
+* ballistics / one-pole smoothers carry the last envelope sample,
+* FIR convolutions (reverbs, delays) carry an overlap-add tail —
+
+so the streamed output equals the one-shot :func:`render_grafx` output
+to float round-off (gated by tests/graph/test_streaming.py).
+
+Processor contract (in addition to the stateless ``__call__``):
+
+* ``stream_init(num_channels, block_len, **params) -> (state, cache)``
+  builds the per-stream carried state and a static cache (IRs, filter
+  kernels) from that stage's parameter rows, once;
+* ``stream_step(x_block, state, cache) -> (y_block, new_state)``.
+
+Processors without these methods are assumed memoryless (gains, stereo
+tools, distortions without DC removal) and are called through
+``__call__`` on each block.  Aux losses (``intermediates``) are a
+training-time concept and are not collected while streaming.
+
+Typical use::
+
+    streamer = StreamRenderer(processors, render_data, params, block_len=4096)
+    state = streamer.init_state()
+    for block in blocks:                      # (num_sources, C, block_len)
+        y, state = streamer(block, state)     # jitted, one XLA program
+"""
+
+import inspect
+
+import jax
+import jax.numpy as jnp
+
+from grafx_tpu.data.configs import UTILITY_TYPES
+from grafx_tpu.render.core import aggregate_tensor, read_tensor_or_tensor_dict
+from grafx_tpu.render.graph import (
+    _access_rows,
+    _read_rows_from_stages,
+    _row_sources,
+)
+
+
+class StreamRenderer:
+    """Stream a prepared render plan block by block.
+
+    Args:
+        processors: dict of node-type -> processor (same as
+            :func:`render_grafx`).
+        render_data: the static plan from :func:`prepare_render`.
+        parameters: per-type parameter pytree (dim 0 = node batch).
+            Parameters are frozen for the life of the stream (the
+            serving scenario); rebuild the renderer to change them.
+        block_len: audio samples per streaming block.  Must be a
+            multiple of every exact-IIR backend's ``exact_block_size``
+            (checked at build time).
+        num_channels: audio channels (2 for stereo graphs).
+        rng: optional key for stochastic processors (resampled-noise
+            reverbs); their noise is drawn once at stream init.
+        common_parameters: optional ``common_parameters`` pytree
+            (e.g. external dry/wet weights), frozen like ``parameters``.
+    """
+
+    def __init__(
+        self,
+        processors,
+        render_data,
+        parameters,
+        block_len=4096,
+        num_channels=2,
+        rng=None,
+        common_parameters=None,
+    ):
+        if render_data.method == "one-by-one":
+            raise ValueError(
+                "streaming requires a scheduled plan (beam/greedy/fixed)."
+            )
+        self.processors = processors
+        self.render_data = render_data
+        self.block_len = block_len
+        self.num_channels = num_channels
+        self._row_src = _row_sources(render_data)
+
+        # Build per-stage states and caches once, host-side.
+        self._caches = {}
+        self._init_states = {}
+        for i in range(1, render_data.max_order + 1):
+            stage = render_data.iter_list[i]
+            node_type = stage.node_type
+            if node_type not in processors:
+                continue
+            proc = processors[node_type]
+            if getattr(proc, "remove_dc", False):
+                raise ValueError(
+                    f"processor {node_type!r} uses remove_dc=True (a"
+                    " full-signal mean); streamed blocks would differ"
+                    " from the one-shot render."
+                )
+            params_i = read_tensor_or_tensor_dict(
+                parameters.get(node_type, {}), stage.parameter_read, dim=0
+            )
+            if common_parameters is not None:
+                common_i = read_tensor_or_tensor_dict(
+                    common_parameters, stage.dest_write, dim=0
+                )
+                if isinstance(common_i, dict):
+                    params_i = {**params_i, **common_i}
+                else:
+                    params_i = {**params_i, "drywet_weight": common_i}
+            if hasattr(proc, "stream_init"):
+                kwargs = dict(params_i)
+                if rng is not None and "noise_key" in inspect.signature(
+                    proc.stream_init
+                ).parameters:
+                    kwargs["noise_key"] = jax.random.fold_in(rng, i)
+                state, cache = proc.stream_init(
+                    num_channels, block_len, **kwargs
+                )
+                self._init_states[i] = state
+                self._caches[i] = ("stream", cache)
+            else:
+                # memoryless: call __call__ per block with the params
+                self._caches[i] = ("call", params_i)
+
+        self._step = jax.jit(self._step_impl)
+
+    def init_state(self):
+        """Fresh carried state for a new stream."""
+        return dict(self._init_states)
+
+    def _step_impl(self, x_block, stream_state):
+        rd = self.render_data
+        stage_outputs = [x_block]
+        new_state = {}
+        output = None
+        for i in range(1, rd.max_order + 1):
+            stage = rd.iter_list[i]
+            stage_inputs = []
+            for read, aggregate in zip(stage.source_reads, stage.aggregations):
+                sig = _read_rows_from_stages(
+                    stage_outputs, _access_rows(read), self._row_src, 0
+                )
+                stage_inputs.append(aggregate_tensor(sig, aggregate, dim=0))
+
+            node_type = stage.node_type
+            if node_type in self.processors:
+                kind, cache = self._caches[i]
+                if kind == "stream":
+                    output, s = self.processors[node_type].stream_step(
+                        *stage_inputs, stream_state[i], cache
+                    )
+                    new_state[i] = s
+                else:
+                    output = self.processors[node_type](*stage_inputs, **cache)
+                    if isinstance(output, tuple):  # drop aux while streaming
+                        output = output[0]
+            elif node_type in UTILITY_TYPES:
+                output = stage_inputs
+            else:
+                raise ValueError(f"Wrong node type given: {node_type}")
+
+            if isinstance(output, list):
+                if len(output) == 1:
+                    output = output[0]
+                else:
+                    stacked = jnp.stack(output, axis=-3)
+                    output = stacked.reshape((-1,) + stacked.shape[-2:])
+            stage_outputs.append(output)
+        return output, new_state
+
+    def __call__(self, x_block, stream_state):
+        """Process one block ``(num_sources, C, block_len)``; returns
+        ``(y_block, new_stream_state)``."""
+        if x_block.shape[-1] != self.block_len:
+            raise ValueError(
+                f"block length {x_block.shape[-1]} != configured"
+                f" {self.block_len}"
+            )
+        return self._step(x_block, stream_state)

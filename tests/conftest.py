@@ -22,3 +22,31 @@ import jax  # noqa: E402
 # The tunneled TPU plugin ('axon') registers itself regardless of
 # JAX_PLATFORMS; force the CPU backend explicitly for the test suite.
 jax.config.update("jax_platforms", "cpu")
+
+# ---------------------------------------------------------------------------
+# Fast/slow test tiers.  The heavy sweeps (exact-backend parameter grids,
+# long-signal gradient checks) are marked "slow" from the checked-in list
+# below; the smoke tier
+#     pytest tests/ -m "not slow" -q
+# still imports and exercises every module in a few minutes, while the
+# default (full) run is unchanged.  Regenerate the list with
+#     pytest tests/ -q --durations=0   (mark anything over ~7 s)
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+_SLOW_LIST = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+with open(_SLOW_LIST) as f:
+    _SLOW_TESTS = frozenset(line.strip() for line in f if line.strip())
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy sweep excluded from the smoke tier (-m 'not slow')"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.nodeid in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
