@@ -20,6 +20,29 @@ import jax.numpy as jnp
 # Set GRAFX_TPU_FFTCONV_VJP=0 to fall back to plain autodiff (A/B knob).
 USE_CUSTOM_VJP = os.environ.get("GRAFX_TPU_FFTCONV_VJP", "1") != "0"
 
+# Automatic overlap-save dispatch: XLA's 1-D FFTs beyond ~2^17 points
+# lower to transpose-heavy multi-pass programs whose per-point cost is
+# several times that of ~2^14-2^16 transforms (measured on TPU v5e:
+# benchmarks/conv_variants.py — 2.6x for a 2k-tap FIR on 2^18, 1.1x for
+# a 60k reverb tail on 2^19).  When a long conv can run as several
+# shorter alias-free blocks, do so.  GRAFX_TPU_CONV_AUTO_OS=0 disables.
+AUTO_OS = os.environ.get("GRAFX_TPU_CONV_AUTO_OS", "1") != "0"
+_AUTO_OS_LONG_FFT = 1 << 17  # big-FFT lengths above this trigger OS
+_AUTO_OS_MIN_NFFT = 1 << 14  # never use OS blocks shorter than this
+
+
+def _auto_os_block(x_len: int, h_len: int, shift: int):
+    """Overlap-save block length for the auto dispatch, or ``None`` if a
+    single full-length FFT is the better formulation."""
+    span = h_len + shift  # filter history + zerophase lookahead
+    if next_pow2(x_len + span - 1) <= _AUTO_OS_LONG_FFT:
+        return None
+    nfft = max(2 * next_pow2(span), _AUTO_OS_MIN_NFFT)
+    block = nfft - (span - 1)  # maximal alias-free hop (non-pow2 is fine)
+    if -(-x_len // block) < 2:
+        return None
+    return block
+
 
 def next_pow2(n: int) -> int:
     """Smallest power of two >= n."""
@@ -124,8 +147,16 @@ def fft_convolve(x, h, mode: str = "zerophase", pad_mode: str = "pow2"):
     The gradient shares the forward spectra with the adjoint via a
     custom VJP (see ``USE_CUSTOM_VJP``); outputs and gradients are
     identical to plain autodiff to float round-off, at ~25% fewer
-    FFT flops per fwd+bwd pair (benchmarks/count_ffts.py).
+    FFT flops per fwd+bwd pair (benchmarks/count_ffts.py).  Long convs
+    automatically run as blocked overlap-save when that avoids a
+    pathological long 1-D XLA FFT (see ``AUTO_OS``); outputs identical
+    to round-off either way.
     """
+    if AUTO_OS and mode in ("causal", "zerophase") and pad_mode == "pow2":
+        shift = h.shape[-1] // 2 if mode == "zerophase" else 0
+        block = _auto_os_block(x.shape[-1], h.shape[-1], shift)
+        if block is not None:
+            return fft_convolve_os(x, h, mode=mode, block=block)
     if USE_CUSTOM_VJP:
         return _fft_convolve_shared_vjp(x, h, mode, pad_mode)
     y, _, _ = _fft_convolve_spectra(x, h, mode, pad_mode)

@@ -90,3 +90,36 @@ def test_custom_vjp_matches_autodiff(mode, pad_mode):
     gx_a, gh_a = jax.grad(loss_auto, argnums=(0, 1))(x, h)
     np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_a), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gh_c), np.asarray(gh_a), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["causal", "zerophase"])
+def test_auto_overlap_save_matches_big_fft(mode):
+    """The automatic overlap-save dispatch (long conv -> blocked small
+    FFTs) must match the single-big-FFT formulation to round-off,
+    including gradients."""
+    import jax
+
+    from grafx_tpu.ops import fftconv
+
+    rng = np.random.RandomState(7)
+    L, Lh = 150000, 2000
+    x = jnp.asarray(rng.randn(2, 2, L).astype(np.float32))
+    h = jnp.asarray(rng.randn(2, 2, Lh).astype(np.float32) * 0.03)
+
+    shift = Lh // 2 if mode == "zerophase" else 0
+    block = fftconv._auto_os_block(L, Lh, shift)
+    assert block is not None, "dispatch should trigger on this shape"
+
+    y_os = fftconv.fft_convolve(x, h, mode=mode)  # auto-OS path
+    y_big = fftconv._fft_convolve_shared_vjp(x, h, mode, "pow2")
+    np.testing.assert_allclose(
+        np.asarray(y_os), np.asarray(y_big), rtol=1e-4, atol=1e-4
+    )
+
+    g_os = jax.grad(lambda h: jnp.mean(fftconv.fft_convolve(x, h, mode=mode) ** 2))(h)
+    g_big = jax.grad(
+        lambda h: jnp.mean(fftconv._fft_convolve_shared_vjp(x, h, mode, "pow2") ** 2)
+    )(h)
+    np.testing.assert_allclose(
+        np.asarray(g_os), np.asarray(g_big), rtol=1e-3, atol=1e-6
+    )

@@ -199,3 +199,82 @@ def test_time_sharding_render_matches_single_device(setup):
     np.testing.assert_allclose(
         np.asarray(out_sharded), np.asarray(out_single), rtol=1e-5, atol=1e-6
     )
+
+
+@pytest.fixture(scope="module")
+def exact_setup():
+    """A heavier graph with the exact-path processors (blocked IIR +
+    Pallas-or-scan ballistics), for gradient-parity gates: a wrong
+    collective in a sharded layout shows up in the gradients even when
+    the forward happens to agree."""
+    from grafx_tpu.processors import ParametricEqualizer
+
+    config = NodeConfigs(["gain", "eq", "comp"])
+    G = GRAFX(config=config)
+    ends = [G.add_serial_chain(["in", "eq", "comp", "gain"])[1] for _ in range(4)]
+    mix = G.add("mix")
+    [G.connect(e, mix) for e in ends]
+    G.connect(mix, G.add("out"))
+    processors = {
+        "gain": StereoGain(),
+        "eq": ParametricEqualizer(num_filters=4, backend="exact"),
+        "comp": Compressor(energy_smoother="ballistics"),
+    }
+    G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
+    plan = prepare_render(G_t)
+    params = create_empty_parameters(processors, G, key=jax.random.PRNGKey(3))
+    render = make_render_fn(processors, plan, jit=False)
+    return render, params
+
+
+def _grad_of(render, params, x, shard_x=None, shard_p=None):
+    if shard_x is not None:
+        x = jax.device_put(x, shard_x)
+    if shard_p is not None:
+        params = jax.device_put(params, shard_p)
+
+    @jax.jit
+    def g(p, x):
+        def loss(p):
+            out, _, _ = render(x, p)
+            return jnp.mean(out**2)
+
+        return jax.grad(loss)(p)
+
+    return jax.tree.map(np.asarray, g(params, x))
+
+
+def _assert_grads_close(ga, gb, rtol=2e-4, atol=1e-7):
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(a, b, rtol=rtol, atol=atol)
+
+
+def test_2d_mesh_grad_matches_single_device(exact_setup):
+    """dp x tp layout: GRADIENTS (not just outputs) must match the
+    single-device run through the exact IIR + ballistics paths."""
+    from grafx_tpu.parallel import batch_node_sharding, make_mesh_2d
+
+    render, params = exact_setup
+    mesh2 = make_mesh_2d(4, 2)
+    x = jax.random.normal(jax.random.PRNGKey(11), (8, 4, 2, 2**10))
+    g_ref = _grad_of(render, params, x)
+    g_sh = _grad_of(
+        render, params, x,
+        shard_x=batch_node_sharding(mesh2),
+        shard_p=jax.sharding.NamedSharding(mesh2, jax.sharding.PartitionSpec()),
+    )
+    _assert_grads_close(g_ref, g_sh)
+
+
+def test_time_sharding_grad_matches_single_device(exact_setup):
+    """Sequence-parallel layout: gradient parity through FFT convs and
+    the sequential recursions (XLA must gather/scatter correctly in the
+    transposed program too)."""
+    from grafx_tpu.parallel import time_sharding
+
+    render, params = exact_setup
+    mesh = make_mesh(8)
+    x = jax.random.normal(jax.random.PRNGKey(12), (4, 2, 2**10))
+    g_ref = _grad_of(render, params, x)
+    g_sh = _grad_of(render, params, x, shard_x=time_sharding(mesh, ndim=3))
+    _assert_grads_close(g_ref, g_sh)
