@@ -259,3 +259,64 @@ def test_stft_reverb_ir_numpy_oracle():
 
     rel = np.abs(ir - expected).max() / np.abs(expected).max()
     assert rel < 1e-3, f"{20 * np.log10(rel):.1f} dB"
+
+
+def test_multitap_delay_integer_shift_oracle():
+    """Independent behavioral oracle for the delay path: with hard
+    (straight-through) delays, one tap per segment, no coloring FIR,
+    a delay encoding an exact grid angle must shift the signal by
+    exactly that integer (numpy.roll is the oracle; reference:
+    core/delay.py:131-142 straight-through onehot forward)."""
+    from grafx_tpu.processors import MultitapDelay
+
+    seg_len = 512
+    delay = MultitapDelay(
+        segment_len=seg_len,
+        num_segments=1,
+        num_delay_per_segment=1,
+        processor_channel="stereo",
+        zp_filter_per_tap=False,
+    )
+    # the surrogate FIR length is 2 * (seg_len // 2 + 1 - 1) = seg_len
+    L = 4096
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 2, L).astype(np.float32)
+
+    for m in (0, 5, 63, 200, 511):
+        theta = 2.0 * np.pi * m / seg_len
+        # radius large so tanh(|z|) ~ 1 => sharp peak exactly at tap m
+        z = 5.0 * np.exp(-1j * theta)
+        delay_z = np.zeros((1, 2, 2), np.float32)
+        delay_z[:, :, 0] = z.real
+        delay_z[:, :, 1] = z.imag
+        out, aux = delay(jnp.asarray(x), jnp.asarray(delay_z))
+        out = np.asarray(out)
+
+        expected = np.zeros_like(x)
+        expected[..., m:] = x[..., : L - m]  # causal integer shift
+        np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
+    assert np.isfinite(float(aux["radii_reg"]))
+
+
+def test_chebyshev_distortion_numpy_polynomial_oracle():
+    """ChebyshevDistortion against numpy.polynomial.chebyshev (library
+    code, not written here): the weighted basis sum must agree for
+    in-range inputs (reference: nonlinear.py:315-413)."""
+    from numpy.polynomial import chebyshev as C
+
+    from grafx_tpu.processors import ChebyshevDistortion
+
+    K = 6
+    dist = ChebyshevDistortion(max_order=K, pre_gain=False)
+    rng = np.random.RandomState(1)
+    x = (0.9 * np.tanh(rng.randn(2, 2, 1000))).astype(np.float32)
+    w = rng.randn(2, K).astype(np.float32) * 0.3
+
+    out = np.asarray(dist(jnp.asarray(x), basis_weights=jnp.asarray(w)))
+
+    for b in range(2):
+        # weight k multiplies T_k(x) starting at T_0; weights pass
+        # through a tanh activation before the basis sum
+        coef = np.tanh(w[b].astype(np.float64))
+        expected = C.chebval(x[b].astype(np.float64), coef)
+        np.testing.assert_allclose(out[b], expected, rtol=1e-3, atol=1e-4)
