@@ -47,28 +47,24 @@ def _kernel_nat(zi_ref, at_ref, rt_ref, u_ref, y_ref, state, *, chunk):
     oma = 1.0 - at
     omr = 1.0 - rt
 
-    ut = u_ref[:].T  # (chunk, LANES) in VMEM
+    TT = 128  # lane-aligned square tiles for the in-kernel transpose
 
-    def body(j, carry):
-        st, acc = carry
-        tile = jax.lax.dynamic_slice_in_dim(ut, j * TILE, TILE, axis=0)
+    def body(j, st):
+        tile = u_ref[:, pl.ds(j * TT, TT)].T  # (TT, LANES) in VMEM
         au = at * tile
         ru = rt * tile
         rows = []
-        for k in range(TILE):
+        for k in range(TT):
             row = tile[k : k + 1, :]
             st_a = oma * st + au[k : k + 1, :]
             st_r = omr * st + ru[k : k + 1, :]
             st = jnp.where(row > st, st_a, st_r)
             rows.append(st)
-        block = jnp.concatenate(rows, axis=0)
-        acc = jax.lax.dynamic_update_slice_in_dim(acc, block, j * TILE, axis=0)
-        return st, acc
+        block = jnp.concatenate(rows, axis=0)  # (TT, LANES)
+        y_ref[:, pl.ds(j * TT, TT)] = block.T
+        return st
 
-    st, yt = jax.lax.fori_loop(
-        0, chunk // TILE, body, (state[:], jnp.zeros_like(ut))
-    )
-    y_ref[:] = yt.T
+    st = jax.lax.fori_loop(0, chunk // TT, body, state[:])
     state[:] = st
 
 

@@ -49,6 +49,34 @@ from grafx_tpu.render.graph import (
 )
 
 
+def _jit_stream_init(proc, num_channels, block_len, kwargs):
+    """Run ``proc.stream_init`` under jit, routing non-array (static)
+    pytree leaves around the jit boundary."""
+    import jax.tree_util as jtu
+
+    aux = {}
+
+    def init_fn(kw):
+        out = proc.stream_init(num_channels, block_len, **kw)
+        leaves, treedef = jtu.tree_flatten(out)
+        is_static = [
+            not isinstance(l, (jax.Array, jnp.ndarray)) and not hasattr(l, "shape")
+            for l in leaves
+        ]
+        aux["treedef"] = treedef
+        aux["static"] = [l if s else None for l, s in zip(leaves, is_static)]
+        aux["mask"] = is_static
+        return [l for l, s in zip(leaves, is_static) if not s]
+
+    array_leaves = jax.jit(init_fn)(kwargs)
+    it = iter(array_leaves)
+    leaves = [
+        s if m else next(it)
+        for s, m in zip(aux["static"], aux["mask"])
+    ]
+    return jtu.tree_unflatten(aux["treedef"], leaves)
+
+
 class StreamRenderer:
     """Stream a prepared render plan block by block.
 
@@ -121,8 +149,14 @@ class StreamRenderer:
                     proc.stream_init
                 ).parameters:
                     kwargs["noise_key"] = jax.random.fold_in(rng, i)
-                state, cache = proc.stream_init(
-                    num_channels, block_len, **kwargs
+                # run the init computation under jit: eager complex ops
+                # (e.g. the STFT-reverb IR build) are unimplemented on
+                # the tunneled TPU backend, and jit also fuses the whole
+                # kernel/IR build into one program.  Static leaves of
+                # the returned pytrees (container dispatch tags, channel
+                # flags) are split out around the jit boundary.
+                state, cache = _jit_stream_init(
+                    proc, num_channels, block_len, kwargs
                 )
                 self._init_states[i] = state
                 self._caches[i] = ("stream", cache)
