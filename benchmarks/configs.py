@@ -78,13 +78,23 @@ def config1():
 
 
 def config2():
-    """Zero-phase EQ + FFT-convolution reverb graph, batch 16, 5 s."""
+    """Zero-phase EQ + FFT-convolution reverb graph, batch 16, 5 s.
+
+    ``CONFIGS_FUSE=1`` applies the opt-in LTI-chain fusion pass
+    (render/fuse.py) first — reported separately in BASELINE.md, the
+    headline config-2 number stays unfused."""
+    import os
+
     procs = {
         "zpeq": NewZeroPhaseFIREqualizer(num_frequency_bins=1024),
         "reverb": STFTMaskedNoiseReverb(ir_len=60000),
     }
     G = GRAFX(config=NodeConfigs(sorted(procs)))
     G.add_serial_chain(["in", "zpeq", "reverb", "out"])
+    if os.environ.get("CONFIGS_FUSE") == "1":
+        from grafx_tpu.render import fuse_serial_fir
+
+        G, procs = fuse_serial_fir(G, procs)
     return _measure(G, procs, 1, 5 * SR, batch=16)
 
 

@@ -62,7 +62,12 @@ def compute_pad_len(x_len: int, h_len: int, pad_mode: str = "pow2") -> int:
 
 def _crop_params(x_len: int, h_len: int, n: int, mode: str):
     """(start, length) of the output window within the length-``n``
-    circular convolution."""
+    circular convolution.  ``mode`` may be ``"causal"``, ``"zerophase"``,
+    ``"full"``, or ``("shift", s)`` — an arbitrary integer advance (the
+    generalization both crops are instances of: causal is s=0,
+    zerophase is s=h_len//2; composed LTI chains need the summed s)."""
+    if isinstance(mode, tuple) and mode[0] == "shift":
+        return int(mode[1]), x_len
     if mode == "zerophase":
         return h_len // 2, x_len
     elif mode == "causal":
@@ -152,8 +157,11 @@ def fft_convolve(x, h, mode: str = "zerophase", pad_mode: str = "pow2"):
     pathological long 1-D XLA FFT (see ``AUTO_OS``); outputs identical
     to round-off either way.
     """
-    if AUTO_OS and mode in ("causal", "zerophase") and pad_mode == "pow2":
-        shift = h.shape[-1] // 2 if mode == "zerophase" else 0
+    if AUTO_OS and pad_mode == "pow2" and mode != "full":
+        if isinstance(mode, tuple):
+            shift = int(mode[1])
+        else:
+            shift = h.shape[-1] // 2 if mode == "zerophase" else 0
         block = _auto_os_block(x.shape[-1], h.shape[-1], shift)
         if block is not None:
             return fft_convolve_os(x, h, mode=mode, block=block)
@@ -247,7 +255,9 @@ def fft_convolve_os(x, h, mode: str = "causal", block: int = None):
     """
     L = x.shape[-1]
     Lh = h.shape[-1]
-    if mode == "causal":
+    if isinstance(mode, tuple) and mode[0] == "shift":
+        shift = int(mode[1])
+    elif mode == "causal":
         shift = 0
     elif mode == "zerophase":
         shift = Lh // 2

@@ -89,6 +89,16 @@ class MultitapDelay:
         irs = normalize_impulse(irs)
         return irs, {"radii_reg": radii_loss}
 
+    def fir_kernel(self, delay_z, log_fir_magnitude=None):
+        """FIR-LTI capability: the tap IR with ``pre_delay`` folded in
+        as a leading zero pad; aux ``radii_reg`` flows through fusion."""
+        if self.processor_channel == "midside":
+            raise NotImplementedError("midside delay is not channel-diagonal")
+        ir, intermediates = self.get_ir(delay_z, log_fir_magnitude)
+        if self.pre_delay:
+            ir = jnp.pad(ir, ((0, 0), (0, 0), (self.pre_delay, 0)))
+        return ir, 0, intermediates
+
     # -- streaming -----------------------------------------------------
 
     def stream_init(self, num_channels, block_len, **params):

@@ -32,6 +32,12 @@ class ZeroPhaseFIREqualizer:
         fir = self.fir(log_magnitude)[:, None, :]
         return convolve(input_signals, fir, mode="zerophase")
 
+    def fir_kernel(self, log_magnitude):
+        """FIR-LTI capability (render/fuse.py): ``(h, shift, aux)`` such
+        that this processor equals a shift-cropped causal convolution."""
+        fir = self.fir(log_magnitude)[:, None, :]
+        return fir, fir.shape[-1] // 2, None
+
     def parameter_size(self):
         return {"log_magnitude": self.num_magnitude_bins}
 
@@ -71,6 +77,16 @@ class NewZeroPhaseFIREqualizer:
             x = lr_to_ms(input_signals)
             return ms_to_lr(convolve(x, fir, mode="zerophase"))
         return convolve(input_signals, fir, mode="zerophase")
+
+    def fir_kernel(self, log_magnitude):
+        """FIR-LTI capability (channel-diagonal modes only — midside
+        applies distinct M/S filters, a 2x2 matrix conv in L/R)."""
+        if self.processor_channel == "midside":
+            raise NotImplementedError(
+                "midside zero-phase EQ is not channel-diagonal; not fusable"
+            )
+        fir = self.fir(log_magnitude)
+        return fir, fir.shape[-1] // 2, None
 
     def parameter_size(self):
         n_bins = (

@@ -69,6 +69,12 @@ class FIRFilter:
             return ms_to_lr(self.conv(x, fir))
         return self.conv(input_signals, fir)
 
+    def fir_kernel(self, fir):
+        """FIR-LTI capability (render/fuse.py; channel-diagonal modes)."""
+        if self.processor_channel == "midside":
+            raise NotImplementedError("midside FIR is not channel-diagonal")
+        return normalize_impulse(jnp.tanh(fir)), 0, None
+
     def parameter_size(self):
         return {"fir": (self.num_channels, self.fir_len)}
 

@@ -133,6 +133,21 @@ class STFTMaskedNoiseReverb:
         )
         return ir  # (B, 2, ir_len)
 
+    def fir_kernel(self, init_log_magnitude, delta_log_magnitude,
+                   gain_env_log_magnitude=None, noise_key=None):
+        """FIR-LTI capability (render/fuse.py): the effective causal IR
+        (channel-diagonal modes; ``midside`` convolves in the M/S basis
+        and is not fusable with L/R members)."""
+        if self.processor_channel == "midside":
+            raise NotImplementedError("midside reverb is not channel-diagonal")
+        ir = self.compute_ir(
+            init_log_magnitude, delta_log_magnitude, gain_env_log_magnitude,
+            noise_key=noise_key,
+        )
+        if self.processor_channel == "pseudo_midside":
+            return normalize_impulse(ms_to_lr(ir)), 0, None
+        return normalize_impulse(ir), 0, None
+
     # -- streaming -----------------------------------------------------
 
     def stream_init(self, num_channels, block_len, noise_key=None, **params):
@@ -290,6 +305,16 @@ class FilteredNoiseShapingReverb:
         envelope = envelope * log_gain[..., None]
         return (self.get_noise(noise_key) * envelope).sum(axis=2)  # (B, C, L)
 
+    def fir_kernel(self, log_decay, log_gain, log_fade_in=None,
+                   z_fade_in_gain=None, noise_key=None):
+        """FIR-LTI capability (channel-diagonal modes only)."""
+        if self.processor_channel == "midside":
+            raise NotImplementedError("midside reverb is not channel-diagonal")
+        ir = self.compute_ir(
+            log_decay, log_gain, log_fade_in, z_fade_in_gain, noise_key
+        )
+        return normalize_impulse(ir), 0, None
+
     # -- streaming -----------------------------------------------------
 
     def stream_init(self, num_channels, block_len, noise_key=None, **params):
@@ -433,6 +458,13 @@ class FeedbackDelayNetwork:
             "bcn,bfn->bcf", output_gains.astype(jnp.complex64), x
         )
         return jnp.fft.irfft(H, n=self.ir_len)  # (B, C_rev, ir_len)
+
+    def fir_kernel(self, z_absorption, input_gains, output_gains):
+        """FIR-LTI capability (channel-diagonal modes only)."""
+        if self.processor_channel == "midside":
+            raise NotImplementedError("midside FDN is not channel-diagonal")
+        ir = self.compute_ir(z_absorption, input_gains, output_gains)
+        return normalize_impulse(ir), 0, None
 
     # -- streaming -----------------------------------------------------
 

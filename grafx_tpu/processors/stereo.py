@@ -22,6 +22,11 @@ class StereoGain:
         gain = jnp.exp(log_gain)
         return input_signals * gain[..., None]
 
+    def fir_kernel(self, log_gain):
+        """FIR-LTI capability: a gain is a 1-tap causal FIR, so gains in
+        a serial LTI run fold into the neighbor's IR for free."""
+        return jnp.exp(log_gain)[..., None], 0, None
+
     def parameter_size(self):
         return {"log_gain": 2}
 

@@ -1,0 +1,204 @@
+"""LTI-chain fusion: a graph-compiler pass that folds serial runs of
+FIR-LTI processors into one convolution.
+
+A serial chain of linear-time-invariant processors is itself LTI: its
+impulse responses compose by convolution, which is *much* shorter than
+the audio.  Folding a run of k FIR-LTI nodes replaces k full-length
+signal convolutions (each several audio-length FFT passes) with one,
+plus k-1 cheap IR-length convolutions — on TPU, where long-FFT passes
+dominate such graphs (BASELINE.md round 3), this is a large win
+(e.g. the zero-phase-EQ -> reverb chain of BASELINE config 2).
+
+This optimization has no counterpart in the reference (its executor
+runs every node); it is the graph-level analog of XLA operator fusion,
+applied where XLA cannot see the algebra.
+
+Capability contract: a processor is FIR-LTI if it implements
+
+    fir_kernel(**params) -> (h, shift, aux_or_None)
+
+meaning it equals ``y = crop(x * h, start=shift)`` with a causal
+length-``L_h`` kernel ``h`` of shape ``(B, C_h, L_h)`` (``shift`` > 0
+encodes zero-phase-style lookahead).  Channel-diagonal modes only —
+midside members apply a 2x2 matrix convolution in L/R and raise.
+
+Use::
+
+    G2, processors2 = fuse_serial_fir(G, processors)
+    # then schedule / prepare / create parameters for G2 as usual
+
+Fused nodes get a composite type named ``"fused(a+b+...)"`` whose
+parameters nest per member position (``"0_a"``, ``"1_b"``, ...), like a
+:class:`~grafx_tpu.processors.container.SerialChain`.
+
+Semantics note (exactness): for **causal** members the fused render is
+identical to the per-node render to float round-off.  For members with
+zero-phase lookahead (``shift > 0``) the fused chain computes the
+*ideal LTI composition*: it equals the per-node render of the signal
+zero-padded at the start (gated to round-off by
+tests/graph/test_fuse.py), whereas direct per-node rendering truncates
+each zero-phase filter's pre-ring at the signal start — a finite-length
+rendering artifact, worth ~1% worst-case on white noise and audibly
+identical.
+"""
+
+from grafx_tpu.data.configs import UTILITY_TYPES
+from grafx_tpu.data.graph import GRAFX
+from grafx_tpu.data.configs import NodeConfigs
+
+
+class FusedFIRChain:
+    """The processor behind a fused serial FIR-LTI run.
+
+    Composes the members' IRs (short convolutions), then applies ONE
+    shift-cropped convolution to the audio.  Aux losses from members
+    (e.g. a delay's ``radii_reg``) are merged and re-emitted.
+    """
+
+    def __init__(self, named_processors):
+        self.members = list(named_processors)  # [(name, processor), ...]
+
+    def __call__(self, input_signals, noise_key=None, **nested_params):
+        import jax
+
+        from grafx_tpu.ops.fftconv import fft_convolve
+        from grafx_tpu.processors.container import _maybe_key
+        from grafx_tpu.processors.core.utils import accepts_noise_key
+
+        h = None
+        h_len = 0
+        shift = 0
+        intermediates = {}
+        for i, (name, proc) in enumerate(self.members):
+            kw = dict(nested_params[name])
+            if noise_key is not None and accepts_noise_key(proc.fir_kernel):
+                kw["noise_key"] = jax.random.fold_in(noise_key, i)
+            hi, si, aux = proc.fir_kernel(**kw)
+            shift += si
+            if aux:
+                intermediates[name] = aux
+            if h is None:
+                h, h_len = hi, hi.shape[-1]
+            else:
+                h_len = h_len + hi.shape[-1] - 1
+                h = fft_convolve(h, hi, mode="full")[..., :h_len]
+
+        out = fft_convolve(input_signals, h, mode=("shift", shift))
+        if intermediates:
+            return out, intermediates
+        return out
+
+    def parameter_size(self):
+        return {
+            name: proc.parameter_size() for name, proc in self.members
+        }
+
+
+def _fusable(node_type, processors):
+    proc = processors.get(node_type)
+    return proc is not None and hasattr(proc, "fir_kernel")
+
+
+def fuse_serial_fir(G, processors, min_run=2):
+    """Rewrite ``G``, folding maximal serial runs of FIR-LTI nodes.
+
+    A run is a path ``n_1 -> ... -> n_k`` where every node's processor
+    implements ``fir_kernel``, every interior edge is the single
+    out-edge of its source and single in-edge of its target, and no
+    node is an ``in``/``out``/``mix`` utility.
+
+    Args:
+        G: a :class:`GRAFX` graph (unscheduled).
+        processors: node-type -> processor dict.
+        min_run: minimum run length to fold (default 2).
+
+    Returns:
+        ``(G_fused, processors_fused)`` — a NEW graph over a config
+        extended with the composite types, and the processor dict
+        extended with the :class:`FusedFIRChain` instances.  Build
+        parameters for the fused graph (``create_empty_parameters`` on
+        ``G_fused``); identical type-sequences share one composite type
+        (so fused nodes still batch across chains).
+    """
+    # --- find runs ------------------------------------------------------
+    in_run = set()
+    runs = []
+    for n in sorted(G.nodes):
+        if n in in_run:
+            continue
+        t = G.nodes[n]["node_type"]
+        if t in UTILITY_TYPES or not _fusable(t, processors):
+            continue
+        # start a run only at a node whose predecessor cannot extend it
+        preds = list(G.predecessors(n))
+        if (
+            len(preds) == 1
+            and G.out_degree(preds[0]) == 1
+            and G.in_degree(n) == 1
+            and _fusable(G.nodes[preds[0]].get("node_type"), processors)
+            and G.nodes[preds[0]].get("node_type") not in UTILITY_TYPES
+        ):
+            continue  # an earlier start will cover this node
+        run = [n]
+        cur = n
+        while True:
+            succs = list(G.successors(cur))
+            if len(succs) != 1 or G.out_degree(cur) != 1:
+                break
+            nxt = succs[0]
+            t_next = G.nodes[nxt]["node_type"]
+            if (
+                G.in_degree(nxt) != 1
+                or t_next in UTILITY_TYPES
+                or not _fusable(t_next, processors)
+            ):
+                break
+            run.append(nxt)
+            cur = nxt
+        if len(run) >= min_run:
+            runs.append(run)
+            in_run.update(run)
+
+    if not runs:
+        return G, dict(processors)
+
+    # --- composite types ------------------------------------------------
+    processors_fused = dict(processors)
+    run_type = {}
+    for run in runs:
+        seq = tuple(G.nodes[n]["node_type"] for n in run)
+        if seq not in run_type:
+            fused_name = "fused(" + "+".join(seq) + ")"
+            run_type[seq] = fused_name
+            processors_fused[fused_name] = FusedFIRChain(
+                [(f"{i}_{t}", processors[t]) for i, t in enumerate(seq)]
+            )
+
+    # --- rebuild the graph ---------------------------------------------
+    base_types = [
+        t for t in G.config.node_types if t not in UTILITY_TYPES
+    ]
+    config = NodeConfigs(base_types + sorted(run_type.values()))
+    G2 = GRAFX(config=config, invalid_op=G.invalid_op)
+
+    node_map = {}  # old node -> new node carrying its output
+    head_map = {}  # old run-head -> new fused node (for incoming edges)
+    for run in runs:
+        seq = tuple(G.nodes[n]["node_type"] for n in run)
+        fused = G2.add(run_type[seq])
+        for n in run:
+            node_map[n] = fused
+        head_map[run[0]] = fused
+    for n in sorted(G.nodes):
+        if n not in node_map:
+            node_map[n] = G2.add(G.nodes[n]["node_type"])
+
+    interior = {
+        (run[i], run[i + 1]) for run in runs for i in range(len(run) - 1)
+    }
+    for u, v in G.edges():
+        if (u, v) in interior:
+            continue
+        G2.connect(node_map[u], node_map[v])
+
+    return G2, processors_fused
