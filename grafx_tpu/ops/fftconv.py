@@ -16,9 +16,13 @@ import jax.numpy as jnp
 # The custom-VJP path shares the forward spectra rfft(x)/rfft(h) with the
 # adjoint and writes the backward as two IRFFTs (correlation theorem),
 # replacing the complex-to-complex FFTs that JAX's generic rfft/irfft
-# transpose rules emit (each costs ~2x an rfft at these lengths).
-# Set GRAFX_TPU_FFTCONV_VJP=0 to fall back to plain autodiff (A/B knob).
-USE_CUSTOM_VJP = os.environ.get("GRAFX_TPU_FFTCONV_VJP", "1") != "0"
+# transpose rules emit.  Measured NEUTRAL-to-slightly-negative on TPU
+# v5e (the long-FFT decomposition passes bind, not the C2C transforms —
+# BASELINE.md round 3), and a custom_vjp rejects forward-mode autodiff
+# (jax.jvp/jacfwd through renders), so it is OFF by default; set
+# GRAFX_TPU_FFTCONV_VJP=1 to enable (kept for FFT-op-count-sensitive
+# targets, gradient-parity-tested either way).
+USE_CUSTOM_VJP = os.environ.get("GRAFX_TPU_FFTCONV_VJP", "0") == "1"
 
 # Automatic overlap-save dispatch: XLA's 1-D FFTs beyond ~2^17 points
 # lower to transpose-heavy multi-pass programs whose per-point cost is
@@ -149,13 +153,13 @@ def fft_convolve(x, h, mode: str = "zerophase", pad_mode: str = "pow2"):
         broadcast leading dims, e.g. channel broadcasting between a mono
         filter and a stereo signal.
 
-    The gradient shares the forward spectra with the adjoint via a
-    custom VJP (see ``USE_CUSTOM_VJP``); outputs and gradients are
-    identical to plain autodiff to float round-off, at ~25% fewer
-    FFT flops per fwd+bwd pair (benchmarks/count_ffts.py).  Long convs
-    automatically run as blocked overlap-save when that avoids a
-    pathological long 1-D XLA FFT (see ``AUTO_OS``); outputs identical
-    to round-off either way.
+    Long convs automatically run as blocked overlap-save when that
+    avoids a pathological long 1-D XLA FFT (see ``AUTO_OS``); outputs
+    identical to round-off either way.  An optional shared-spectra
+    custom VJP (``GRAFX_TPU_FFTCONV_VJP=1``) minimizes the FFT op count
+    of fwd+bwd pairs; it is off by default — measured neutral on TPU,
+    and a ``custom_vjp`` would reject forward-mode autodiff
+    (``jax.jvp``/``jacfwd``) through renders.
     """
     if AUTO_OS and pad_mode == "pow2" and mode != "full":
         if isinstance(mode, tuple):
@@ -282,4 +286,6 @@ def fft_convolve_os(x, h, mode: str = "causal", block: int = None):
     X = jnp.fft.rfft(segs, n=nfft)
     H = jnp.fft.rfft(h, n=nfft)[..., None, :]
     y = jnp.fft.irfft(X * H, n=nfft)[..., Lh - 1 + shift : Lh - 1 + shift + block]
-    return y.reshape(x.shape[:-1] + (nb * block,))[..., :L]
+    # leading dims broadcast between x and h (e.g. a stereo filter on a
+    # mono signal) — flatten the block axis on the BROADCAST shape
+    return y.reshape(y.shape[:-2] + (nb * block,))[..., :L]

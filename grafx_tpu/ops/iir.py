@@ -66,7 +66,11 @@ def set_exact_apply_precision(precision):
     ``precision`` is ``"high"`` (default: 3-pass bf16, ~f32-equivalent,
     verified on TPU v5e at -79 dB worst case) or ``"highest"`` (6-pass,
     ~6% more step time, -94 dB worst case).  Build-path contractions
-    always run at HIGHEST.  Takes effect at the next trace/compile.
+    always run at HIGHEST.
+
+    Already-compiled programs keep the precision they were traced with,
+    so this also clears the library's render-closure cache and JAX's
+    jit caches — rebuilt/re-called closures pick up the new setting.
     """
     global PREC_APPLY
     table = {
@@ -76,6 +80,13 @@ def set_exact_apply_precision(precision):
     if isinstance(precision, str):
         precision = table[precision.lower()]
     PREC_APPLY = precision
+    try:
+        from grafx_tpu.render import graph as _render_graph
+
+        _render_graph._RENDER_FN_CACHE.clear()
+    except ImportError:  # circular-import-safe during module init
+        pass
+    jax.clear_caches()
 
 
 def exactness_check_db(L=2**15, N=4, K=24, r_hi=0.999, seed=0):

@@ -175,20 +175,24 @@ def fuse_serial_fir(G, processors, min_run=2):
             )
 
     # --- rebuild the graph ---------------------------------------------
-    base_types = [
-        t for t in G.config.node_types if t not in UTILITY_TYPES
-    ]
-    config = NodeConfigs(base_types + sorted(run_type.values()))
+    # carry the ORIGINAL type definitions (incl. MIMO inlets/outlets)
+    # and add the (SISO) composite types
+    base_defs = {
+        t: G.config.node_type_dict[t]
+        for t in G.config.node_types
+        if t not in UTILITY_TYPES
+    }
+    for fused_name in sorted(run_type.values()):
+        base_defs[fused_name] = {"inlets": ["main"], "outlets": ["main"]}
+    config = NodeConfigs(base_defs)
     G2 = GRAFX(config=config, invalid_op=G.invalid_op)
 
     node_map = {}  # old node -> new node carrying its output
-    head_map = {}  # old run-head -> new fused node (for incoming edges)
     for run in runs:
         seq = tuple(G.nodes[n]["node_type"] for n in run)
         fused = G2.add(run_type[seq])
         for n in run:
             node_map[n] = fused
-        head_map[run[0]] = fused
     for n in sorted(G.nodes):
         if n not in node_map:
             node_map[n] = G2.add(G.nodes[n]["node_type"])
@@ -196,9 +200,13 @@ def fuse_serial_fir(G, processors, min_run=2):
     interior = {
         (run[i], run[i + 1]) for run in runs for i in range(len(run) - 1)
     }
-    for u, v in G.edges():
+    for u, v, data in G.edges(data=True):
         if (u, v) in interior:
             continue
-        G2.connect(node_map[u], node_map[v])
+        # preserve MIMO outlet/inlet names; edges at a fused boundary
+        # connect to the composite node's single "main" port
+        outlet = data.get("outlet", "main") if u not in in_run else "main"
+        inlet = data.get("inlet", "main") if v not in in_run else "main"
+        G2.connect(node_map[u], node_map[v], outlet=outlet, inlet=inlet)
 
     return G2, processors_fused

@@ -56,12 +56,18 @@ def _row_sources(render_data):
     return row_src
 
 
-def _read_rows_from_stages(stage_outputs, rows, row_src, dim):
+def _read_rows_from_stages(stage_outputs, rows, row_src, dim,
+                           channel_broadcast=False):
     """Gather buffer rows as slices of per-stage outputs.
 
     Consecutive rows from the same stage coalesce into one static slice
     (after ``reorder_for_fast_render`` most reads are exactly one slice,
-    which XLA folds into the consumer — zero data movement)."""
+    which XLA folds into the consumer — zero data movement).
+
+    ``channel_broadcast`` broadcasts each part's channel dim to the
+    common maximum before concatenating — used only for the API-parity
+    signal-buffer assembly, where MIMO graphs mix single-channel rows
+    (e.g. mid/side outlets) with stereo rows."""
     runs = []  # (stage, lo, hi)
     for r in rows:
         try:
@@ -82,6 +88,12 @@ def _read_rows_from_stages(stage_outputs, rows, row_src, dim):
         parts.append(stage_outputs[j][index])
     if len(parts) == 1:
         return parts[0]
+    if channel_broadcast:
+        c_max = max(p.shape[-2] for p in parts)
+        parts = [
+            jnp.broadcast_to(p, p.shape[:-2] + (c_max, p.shape[-1]))
+            for p in parts
+        ]
     return jnp.concatenate(parts, axis=dim)
 
 
@@ -292,7 +304,7 @@ def render_grafx(
         all_rows = list(range(render_data.num_buffers))
         written = [r for r in all_rows if r in row_src]
         signal_buffer = _read_rows_from_stages(
-            stage_outputs, written, row_src, node_dim
+            stage_outputs, written, row_src, node_dim, channel_broadcast=True
         )
 
     return output_signals, intermediates_list, signal_buffer

@@ -13,7 +13,7 @@ state across blocks —
 * FIR convolutions (reverbs, delays) carry an overlap-add tail —
 
 so the streamed output equals the one-shot :func:`render_grafx` output
-to float round-off (gated by tests/graph/test_streaming.py).
+to float round-off (gated by tests/graph/test_render_streaming.py).
 
 Processor contract (in addition to the stateless ``__call__``):
 
@@ -144,6 +144,14 @@ class StreamRenderer:
                 else:
                     params_i = {**params_i, "drywet_weight": common_i}
             if hasattr(proc, "stream_init"):
+                if len(stage.source_reads) > 1:
+                    raise NotImplementedError(
+                        f"stage {i} ({node_type!r}) has"
+                        f" {len(stage.source_reads)} inlets; the streaming"
+                        " contract currently covers single-input stateful"
+                        " processors (multi-inlet stages stream only as"
+                        " memoryless __call__ processors)."
+                    )
                 kwargs = dict(params_i)
                 if rng is not None and "noise_key" in inspect.signature(
                     proc.stream_init

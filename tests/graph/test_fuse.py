@@ -138,3 +138,56 @@ def test_fuse_noop_on_non_lti_graph():
     G.add_serial_chain(["in", "comp", "out"])
     G2, procs2 = fuse_serial_fir(G, procs)
     assert G2 is G and set(procs2) == set(procs)
+
+
+def test_fuse_preserves_mimo_edges():
+    """Fusion in a graph with MIMO types must keep the original
+    inlet/outlet wiring (regression: the rebuilt config downgraded
+    every type to SISO and dropped edge port attributes)."""
+    from grafx_tpu.processors import MidSideToStereo, StereoToMidSide
+
+    procs = {
+        "gain": StereoGain(),
+        "delay": MultitapDelay(
+            segment_len=200, num_segments=2, processor_channel="stereo"
+        ),
+        "s2ms": StereoToMidSide(),
+        "ms2s": MidSideToStereo(),
+    }
+    config = NodeConfigs(
+        {
+            "gain": {"inlets": ["main"], "outlets": ["main"]},
+            "delay": {"inlets": ["main"], "outlets": ["main"]},
+            "s2ms": {"inlets": ["main"], "outlets": ["mid", "side"]},
+            "ms2s": {"inlets": ["mid", "side"], "outlets": ["main"]},
+        }
+    )
+    G = GRAFX(config=config)
+    src = G.add("in")
+    g = G.add("gain")
+    d = G.add("delay")
+    sp = G.add("s2ms")
+    mg = G.add("ms2s")
+    out = G.add("out")
+    G.connect(src, g)
+    G.connect(g, d)
+    G.connect(d, sp)
+    G.connect(sp, mg, outlet="mid", inlet="mid")
+    G.connect(sp, mg, outlet="side", inlet="side")
+    G.connect(mg, out)
+
+    G2, procs2 = fuse_serial_fir(G, procs)
+    assert any(t.startswith("fused(") for t in procs2)
+    # the mid/side edges survive with their ports
+    ports = sorted(
+        (dat["outlet"], dat["inlet"]) for _, _, dat in G2.edges(data=True)
+    )
+    assert ("mid", "mid") in ports and ("side", "side") in ports
+
+    params = create_empty_parameters(procs, G, key=jax.random.PRNGKey(5))
+    x = jax.random.normal(jax.random.PRNGKey(6), (1, 2, 2**12))
+    y_ref, aux_ref = _render(G, procs, params, x)
+    y_fused, _ = _render(G2, procs2, _fused_params_from(params, G2, procs2), x)
+    scale = np.abs(y_ref).max() + 1e-9
+    # gain+delay run is causal: exact match
+    assert np.abs(y_fused - y_ref).max() / scale < 1e-4

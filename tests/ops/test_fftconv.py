@@ -123,3 +123,40 @@ def test_auto_overlap_save_matches_big_fft(mode):
     np.testing.assert_allclose(
         np.asarray(g_os), np.asarray(g_big), rtol=1e-3, atol=1e-6
     )
+
+
+def test_auto_overlap_save_filter_side_broadcast():
+    """Auto-OS must preserve filter-side channel broadcasting (mono
+    signal x stereo filter) on long signals (regression: the OS reshape
+    used x's leading shape instead of the broadcast shape)."""
+    import jax
+
+    rng = np.random.RandomState(8)
+    L, Lh = 2**18, 2000
+    x = jnp.asarray(rng.randn(2, 1, L).astype(np.float32))  # mono signal
+    h = jnp.asarray(rng.randn(2, 2, Lh).astype(np.float32) * 0.02)  # stereo
+
+    y = fft_convolve(jnp.array(x), h, mode="zerophase")
+    assert y.shape == (2, 2, L)
+    # spot-check against the big-FFT path on a slice
+    from grafx_tpu.ops import fftconv
+
+    y_big = fftconv._fft_convolve_spectra(x, h, "zerophase", "pow2")[0]
+    np.testing.assert_allclose(
+        np.asarray(y[..., :5000]), np.asarray(y_big[..., :5000]),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_forward_mode_autodiff_through_fft_convolve():
+    """jax.jvp must work through the default conv path (regression: a
+    custom_vjp default rejected forward-mode autodiff)."""
+    import jax
+
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(1, 2, 500).astype(np.float32))
+    h = jnp.asarray(rng.randn(1, 2, 64).astype(np.float32))
+    th = jnp.ones_like(h)
+    y, dy = jax.jvp(lambda h: fft_convolve(x, h, mode="causal"), (h,), (th,))
+    expected = fft_convolve(x, th, mode="causal")
+    np.testing.assert_allclose(np.asarray(dy), np.asarray(expected), rtol=1e-4, atol=1e-4)
