@@ -14,7 +14,11 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 
-from grafx_tpu.ops.fftconv import fft_convolve, fft_convolve_os
+from grafx_tpu.ops.fftconv import (
+    fft_convolve,
+    fft_convolve_os,
+    fft_convolve_upols,
+)
 from grafx_tpu.utils import enable_compilation_cache
 
 B, C, L = 16, 2, 5 * 44100
@@ -81,6 +85,19 @@ def main():
     for blk in (65536, 131072):
         timeit(
             f"reverb conv: overlap-save block {blk}", loss_os_c(blk), (B, C, Lh)
+        )
+
+    def loss_up(part):
+        def f(h, xk):
+            return jnp.mean(
+                fft_convolve_upols(xk, h, mode="causal", part=part) ** 2
+            )
+
+        return f
+
+    for part in (4096, 8192, 16384):
+        timeit(
+            f"reverb conv: UPOLS part {part}", loss_up(part), (B, C, Lh)
         )
 
 

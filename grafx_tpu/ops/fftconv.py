@@ -24,28 +24,37 @@ import jax.numpy as jnp
 # targets, gradient-parity-tested either way).
 USE_CUSTOM_VJP = os.environ.get("GRAFX_TPU_FFTCONV_VJP", "0") == "1"
 
-# Automatic overlap-save dispatch: XLA's 1-D FFTs beyond ~2^17 points
-# lower to transpose-heavy multi-pass programs whose per-point cost is
-# several times that of ~2^14-2^16 transforms (measured on TPU v5e:
-# benchmarks/conv_variants.py — 2.6x for a 2k-tap FIR on 2^18, 1.1x for
-# a 60k reverb tail on 2^19).  When a long conv can run as several
-# shorter alias-free blocks, do so.  GRAFX_TPU_CONV_AUTO_OS=0 disables.
+# Automatic blocked-convolution dispatch: XLA's 1-D FFTs beyond ~2^17
+# points lower to transpose-heavy multi-pass programs whose per-point
+# cost is several times that of ~2^14-2^16 transforms (measured on TPU
+# v5e: benchmarks/conv_variants.py — 2.6x for a 2k-tap FIR on 2^18).
+# When a long conv can run at short FFT lengths, do so:
+#   * SHORT filters (fit one fast block): plain overlap-save with a
+#     maximal non-pow2 hop;
+#   * LONG filters (a 60k reverb tail would force the block length back
+#     up): uniformly-partitioned overlap-save (fft_convolve_upols) —
+#     measured 3.5x over maximal-block OS (26.4 -> 7.6 ms on the 60k
+#     reverb workload).
+# GRAFX_TPU_CONV_AUTO_OS=0 disables both.
 AUTO_OS = os.environ.get("GRAFX_TPU_CONV_AUTO_OS", "1") != "0"
-_AUTO_OS_LONG_FFT = 1 << 17  # big-FFT lengths above this trigger OS
-_AUTO_OS_MIN_NFFT = 1 << 14  # never use OS blocks shorter than this
+_AUTO_OS_LONG_FFT = 1 << 17  # big-FFT lengths above this trigger blocking
+_AUTO_OS_MIN_NFFT = 1 << 14  # never use blocks shorter than this
+_UPOLS_PART = 1 << 13  # partition length (FFT size 2^14), measured optimum
 
 
 def _auto_os_block(x_len: int, h_len: int, shift: int):
-    """Overlap-save block length for the auto dispatch, or ``None`` if a
-    single full-length FFT is the better formulation."""
+    """Blocked-conv dispatch decision: ``None`` (single full-length
+    FFT), ``("os", block)``, or ``("upols", part)``."""
     span = h_len + shift  # filter history + zerophase lookahead
     if next_pow2(x_len + span - 1) <= _AUTO_OS_LONG_FFT:
         return None
+    if next_pow2(span) > _UPOLS_PART:
+        return ("upols", _UPOLS_PART)
     nfft = max(2 * next_pow2(span), _AUTO_OS_MIN_NFFT)
     block = nfft - (span - 1)  # maximal alias-free hop (non-pow2 is fine)
     if -(-x_len // block) < 2:
         return None
-    return block
+    return ("os", block)
 
 
 def next_pow2(n: int) -> int:
@@ -166,9 +175,12 @@ def fft_convolve(x, h, mode: str = "zerophase", pad_mode: str = "pow2"):
             shift = int(mode[1])
         else:
             shift = h.shape[-1] // 2 if mode == "zerophase" else 0
-        block = _auto_os_block(x.shape[-1], h.shape[-1], shift)
-        if block is not None:
-            return fft_convolve_os(x, h, mode=mode, block=block)
+        plan = _auto_os_block(x.shape[-1], h.shape[-1], shift)
+        if plan is not None:
+            kind, size = plan
+            if kind == "upols":
+                return fft_convolve_upols(x, h, mode=mode, part=size)
+            return fft_convolve_os(x, h, mode=mode, block=size)
     if USE_CUSTOM_VJP:
         return _fft_convolve_shared_vjp(x, h, mode, pad_mode)
     y, _, _ = _fft_convolve_spectra(x, h, mode, pad_mode)
@@ -195,6 +207,72 @@ class FIRConvolution:
         if self.overlap_save and self.mode == "causal":
             return fft_convolve_os(input_signals, fir)
         return fft_convolve(input_signals, fir, mode=self.mode, pad_mode=self.pad_mode)
+
+
+def fft_convolve_upols(x, h, mode: str = "causal", part: int = 8192):
+    """Uniformly-partitioned overlap-save convolution (UPOLS).
+
+    The classic real-time convolution-reverb algorithm, which is also
+    the right TPU formulation for LONG filters: the filter splits into
+    ``m`` length-``part`` chunks, the signal into hop-``part`` segments
+    (FFT size ``2 * part`` — the fast XLA regime), and chunk ``j``'s
+    contribution to output segment ``k`` is ``X[k-j] * H[j]`` — a small
+    banded complex accumulation XLA fuses, with ONE irfft per output
+    segment.  Versus plain overlap-save (whose FFT length must exceed
+    the whole filter), every transform stays short regardless of
+    ``L_h``.  Exact to float round-off (same result as
+    :func:`fft_convolve`).
+
+    Args:
+        x: ``(..., L_x)``; h: ``(..., L_h)`` (leading dims broadcast).
+        mode: ``"causal"``, ``"zerophase"``, or ``("shift", s)``.
+        part: chunk/hop length (FFT size is ``2 * part``).
+
+    Returns:
+        ``(..., L_x)`` convolved signals.
+    """
+    L = x.shape[-1]
+    Lh = h.shape[-1]
+    if isinstance(mode, tuple) and mode[0] == "shift":
+        shift = int(mode[1])
+    elif mode == "causal":
+        shift = 0
+    elif mode == "zerophase":
+        shift = Lh // 2
+    else:
+        raise ValueError(f"Unsupported UPOLS mode: {mode}")
+    C = part
+    nfft = 2 * C
+    m = -(-Lh // C)
+    nb = -(-(L + shift) // C)
+
+    lead_x = [(0, 0)] * (x.ndim - 1)
+    xp = jnp.pad(x, lead_x + [(C, nb * C - L)])  # len (nb + 1) * C
+    segs = jnp.stack(
+        [
+            jax.lax.dynamic_slice_in_dim(xp, k * C, nfft, axis=-1)
+            for k in range(nb)
+        ],
+        axis=-2,
+    )  # (..., nb, 2C); segment k holds x[kC - C : kC + C]
+    X = jnp.fft.rfft(segs, n=nfft)  # (..., nb, F)
+
+    lead_h = [(0, 0)] * (h.ndim - 1)
+    hp = jnp.pad(h, lead_h + [(0, m * C - Lh)])
+    H = jnp.fft.rfft(
+        hp.reshape(hp.shape[:-1] + (m, C)), n=nfft
+    )  # (..., m, F)
+
+    # Y[k] = sum_j X[k - j] H[j]; left-pad the segment axis so negative
+    # indices read zeros (x has no content before its start)
+    Xp = jnp.pad(X, [(0, 0)] * (X.ndim - 2) + [(m - 1, 0), (0, 0)])
+    Y = None
+    for j in range(m):
+        term = Xp[..., m - 1 - j : m - 1 - j + nb, :] * H[..., j : j + 1, :]
+        Y = term if Y is None else Y + term
+    y = jnp.fft.irfft(Y, n=nfft)[..., C:]  # (..., nb, C) valid halves
+    y = y.reshape(y.shape[:-2] + (nb * C,))
+    return y[..., shift : shift + L]
 
 
 def conv_stream_zero_tail(lead_shape, h_len, dtype=jnp.float32):

@@ -160,3 +160,39 @@ def test_forward_mode_autodiff_through_fft_convolve():
     y, dy = jax.jvp(lambda h: fft_convolve(x, h, mode="causal"), (h,), (th,))
     expected = fft_convolve(x, th, mode="causal")
     np.testing.assert_allclose(np.asarray(dy), np.asarray(expected), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["causal", "zerophase", ("shift", 777)])
+@pytest.mark.parametrize("x_len,h_len,part", [
+    (5000, 3000, 512), (4096, 900, 256), (3000, 2561, 1024),
+])
+def test_upols_matches_direct(mode, x_len, h_len, part):
+    """Uniformly-partitioned overlap-save == single-FFT convolution to
+    round-off, for filters shorter and longer than the partition, all
+    crop modes, and filter-side channel broadcasting."""
+    from grafx_tpu.ops.fftconv import _fft_convolve_spectra, fft_convolve_upols
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 1, x_len).astype(np.float32))
+    h = jnp.asarray(rng.randn(2, 2, h_len).astype(np.float32) * 0.05)
+    y = fft_convolve_upols(x, h, mode=mode, part=part)
+    ref, _, _ = _fft_convolve_spectra(x, h, mode, "pow2")
+    assert y.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4, atol=2e-4)
+
+
+def test_upols_gradients_match():
+    import jax
+
+    from grafx_tpu.ops.fftconv import _fft_convolve_spectra, fft_convolve_upols
+
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(1, 2, 4000).astype(np.float32))
+    h = jnp.asarray(rng.randn(1, 2, 1500).astype(np.float32) * 0.05)
+    g1 = jax.grad(
+        lambda h: jnp.mean(fft_convolve_upols(x, h, part=512) ** 2)
+    )(h)
+    g2 = jax.grad(
+        lambda h: jnp.mean(_fft_convolve_spectra(x, h, "causal", "pow2")[0] ** 2)
+    )(h)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-6)
