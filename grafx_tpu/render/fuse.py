@@ -59,10 +59,18 @@ class FusedFIRChain:
         self.members = list(named_processors)  # [(name, processor), ...]
 
     def __call__(self, input_signals, noise_key=None, **nested_params):
+        from grafx_tpu.ops.fftconv import fft_convolve
+
+        h, shift, intermediates = self._compose_ir(nested_params, noise_key)
+        out = fft_convolve(input_signals, h, mode=("shift", shift))
+        if intermediates:
+            return out, intermediates
+        return out
+
+    def _compose_ir(self, nested_params, noise_key=None):
         import jax
 
         from grafx_tpu.ops.fftconv import fft_convolve
-        from grafx_tpu.processors.container import _maybe_key
         from grafx_tpu.processors.core.utils import accepts_noise_key
 
         h = None
@@ -82,11 +90,32 @@ class FusedFIRChain:
             else:
                 h_len = h_len + hi.shape[-1] - 1
                 h = fft_convolve(h, hi, mode="full")[..., :h_len]
+        return h, shift, intermediates
 
-        out = fft_convolve(input_signals, h, mode=("shift", shift))
-        if intermediates:
-            return out, intermediates
-        return out
+    # -- streaming -----------------------------------------------------
+
+    def stream_init(self, num_channels, block_len, noise_key=None, **nested):
+        """Streaming contract: compose the chain IR once, stream the
+        single convolution via overlap-add tail carry.  Chains with
+        zero-phase members (``shift > 0``) would need ``shift`` samples
+        of lookahead and are rejected (stream the unfused graph or use
+        causal members)."""
+        from grafx_tpu.ops.fftconv import conv_stream_zero_tail
+
+        h, shift, _ = self._compose_ir(nested, noise_key)
+        if shift:
+            raise NotImplementedError(
+                f"fused chain has {shift} samples of zero-phase lookahead;"
+                " block-wise streaming supports causal chains only."
+            )
+        C = max(num_channels, h.shape[1])
+        tail = conv_stream_zero_tail((h.shape[0], C), h.shape[-1])
+        return tail, {"h": h}
+
+    def stream_step(self, x, tail, cache):
+        from grafx_tpu.ops.fftconv import fft_convolve_stream
+
+        return fft_convolve_stream(x, cache["h"], tail)
 
     def parameter_size(self):
         return {

@@ -137,3 +137,23 @@ def test_stream_rejects_bad_block():
     streamer = StreamRenderer(procs, plan, params, block_len=1024)
     with pytest.raises(ValueError, match="block length"):
         streamer(jnp.zeros((1, 2, 512)), streamer.init_state())
+
+
+def test_stream_fused_lti_chain():
+    """A fused causal LTI run streams via the composed-IR tail carry;
+    streamed == one-shot fused render."""
+    from grafx_tpu.processors import MultitapDelay
+    from grafx_tpu.render import fuse_serial_fir
+
+    procs = {
+        "gain": StereoGain(),
+        "delay": MultitapDelay(
+            segment_len=400, num_segments=3, processor_channel="stereo"
+        ),
+        "reverb": STFTMaskedNoiseReverb(ir_len=2500),
+    }
+    G = GRAFX(config=NodeConfigs(sorted(procs)))
+    G.add_serial_chain(["in", "gain", "delay", "reverb", "out"])
+    G2, procs2 = fuse_serial_fir(G, procs)
+    assert any(t.startswith("fused(") for t in procs2)
+    _stream_vs_full(G2, procs2, 1, 8192, 1024, rtol=5e-4, seed=7)
