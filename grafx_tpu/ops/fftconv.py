@@ -315,6 +315,67 @@ def fft_convolve_stream(x, h, tail):
     return acc[..., :B], acc[..., B:]
 
 
+def conv_stream_init(h, num_channels, block_len):
+    """Initialize a streaming causal convolution with filter ``h``
+    ``(B, C_h, L_h)``; returns ``(state, cache)`` for
+    :func:`conv_stream_apply`.
+
+    Short filters carry a time-domain overlap-add tail
+    (:func:`fft_convolve_stream`).  Long filters (past one UPOLS
+    partition, when the block divides the partition grid) carry a
+    *frequency-domain delay line* — the last ``m - 1`` segment spectra —
+    so every per-block transform stays at the fast ``2^14`` FFT length
+    regardless of ``L_h`` (the classic real-time partitioned
+    convolution, matching :func:`fft_convolve_upols`)."""
+    B, C_h, Lh = h.shape
+    C_bc = max(num_channels, C_h)
+    part = min(_UPOLS_PART, next_pow2(block_len))
+    if Lh > 2 * part and block_len % part == 0:
+        Cp = part
+        nfft = 2 * Cp
+        m = -(-Lh // Cp)
+        hp = jnp.pad(h, [(0, 0), (0, 0), (0, m * Cp - Lh)])
+        H = jnp.fft.rfft(hp.reshape(B, C_h, m, Cp), n=nfft)
+        state = {
+            "X": jnp.zeros((B, C_bc, m - 1, nfft // 2 + 1), jnp.complex64),
+            "xtail": jnp.zeros((B, C_bc, Cp), h.dtype),
+        }
+        return state, {"kind": "upols", "H": H, "part": Cp}
+    return (
+        conv_stream_zero_tail((B, C_bc), Lh, h.dtype),
+        {"kind": "tail", "h": h},
+    )
+
+
+def conv_stream_apply(x, state, cache):
+    """One streaming block through a conv initialized by
+    :func:`conv_stream_init`; returns ``(y_block, new_state)``."""
+    if cache["kind"] == "tail":
+        return fft_convolve_stream(x, cache["h"], state)
+    H = cache["H"]  # (B, C_h, m, F)
+    Cp = int(cache["part"])
+    nfft = 2 * Cp
+    m = H.shape[-2]
+    X = state["X"]
+    xtail = state["xtail"]
+    lead = X.shape[:2]
+    xb = jnp.broadcast_to(x, lead + (x.shape[-1],))
+    outs = []
+    for s in range(x.shape[-1] // Cp):
+        xs = xb[..., s * Cp : (s + 1) * Cp]
+        window = jnp.concatenate([xtail, xs], axis=-1)  # x[kC-C : kC+C]
+        Xk = jnp.fft.rfft(window, n=nfft)  # (B, C, F)
+        # Y_k = sum_j X_{k-j} H_j ; X[..., i, :] holds X_{k-1-(m-2-i)}
+        Y = Xk * H[..., 0, :]
+        for j in range(1, m):
+            Y = Y + X[..., m - 1 - j, :] * H[..., j, :]
+        outs.append(jnp.fft.irfft(Y, n=nfft)[..., Cp:])
+        X = jnp.concatenate([X[..., 1:, :], Xk[..., None, :]], axis=-2)
+        xtail = xs
+    y = jnp.concatenate(outs, axis=-1)
+    return y, {"X": X, "xtail": xtail}
+
+
 def fft_convolve_os(x, h, mode: str = "causal", block: int = None):
     """Overlap-save blocked FFT convolution, cropped to ``L_x``.
 

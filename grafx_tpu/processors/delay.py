@@ -106,22 +106,21 @@ class MultitapDelay:
         ``pre_delay`` folds into the IR as a leading zero pad (identical
         to the one-shot output shift).  The aux ``radii_reg`` loss is a
         training-time quantity and is not emitted while streaming."""
-        from grafx_tpu.ops.fftconv import conv_stream_zero_tail
+        from grafx_tpu.ops.fftconv import conv_stream_init
 
         ir, _ = self.get_ir(params["delay_z"], params.get("log_fir_magnitude"))
         if self.pre_delay:
             ir = jnp.pad(ir, ((0, 0), (0, 0), (self.pre_delay, 0)))
-        C = max(num_channels, ir.shape[1])
-        tail = conv_stream_zero_tail((ir.shape[0], C), ir.shape[-1])
-        return tail, {"h": ir, "ms": self.processor_channel == "midside"}
+        state, conv = conv_stream_init(ir, num_channels, block_len)
+        return state, {"conv": conv, "ms": self.processor_channel == "midside"}
 
-    def stream_step(self, x, tail, cache):
-        from grafx_tpu.ops.fftconv import fft_convolve_stream
+    def stream_step(self, x, state, cache):
+        from grafx_tpu.ops.fftconv import conv_stream_apply
 
         if cache["ms"]:
-            y, tail = fft_convolve_stream(lr_to_ms(x), cache["h"], tail)
-            return ms_to_lr(y), tail
-        return fft_convolve_stream(x, cache["h"], tail)
+            y, state = conv_stream_apply(lr_to_ms(x), state, cache["conv"])
+            return ms_to_lr(y), state
+        return conv_stream_apply(x, state, cache["conv"])
 
     def parameter_size(self):
         num_delay = (

@@ -152,9 +152,10 @@ class STFTMaskedNoiseReverb:
 
     def stream_init(self, num_channels, block_len, noise_key=None, **params):
         """Streaming contract: freeze the IR once (noise drawn at init
-        when ``fixed_noise=False``), stream the causal convolution via
-        overlap-add tail carry."""
-        from grafx_tpu.ops.fftconv import conv_stream_zero_tail
+        when ``fixed_noise=False``), stream the causal convolution —
+        long IRs carry a frequency-domain partitioned delay line, short
+        ones an overlap-add tail (ops/fftconv.py conv_stream_init)."""
+        from grafx_tpu.ops.fftconv import conv_stream_init
 
         ir = self.compute_ir(
             params["init_log_magnitude"],
@@ -166,17 +167,16 @@ class STFTMaskedNoiseReverb:
             h = normalize_impulse(ms_to_lr(ir))
         else:
             h = normalize_impulse(ir)
-        C = max(num_channels, h.shape[1])
-        tail = conv_stream_zero_tail((h.shape[0], C), h.shape[-1])
-        return tail, {"h": h, "ms": self.processor_channel == "midside"}
+        state, conv = conv_stream_init(h, num_channels, block_len)
+        return state, {"conv": conv, "ms": self.processor_channel == "midside"}
 
-    def stream_step(self, x, tail, cache):
-        from grafx_tpu.ops.fftconv import fft_convolve_stream
+    def stream_step(self, x, state, cache):
+        from grafx_tpu.ops.fftconv import conv_stream_apply
 
         if cache["ms"]:
-            y, tail = fft_convolve_stream(lr_to_ms(x), cache["h"], tail)
-            return ms_to_lr(y), tail
-        return fft_convolve_stream(x, cache["h"], tail)
+            y, state = conv_stream_apply(lr_to_ms(x), state, cache["conv"])
+            return ms_to_lr(y), state
+        return conv_stream_apply(x, state, cache["conv"])
 
     def compute_stft_mask(
         self, init_log_magnitude, delta_log_magnitude, gain_env_log_magnitude=None
@@ -318,7 +318,7 @@ class FilteredNoiseShapingReverb:
     # -- streaming -----------------------------------------------------
 
     def stream_init(self, num_channels, block_len, noise_key=None, **params):
-        from grafx_tpu.ops.fftconv import conv_stream_zero_tail
+        from grafx_tpu.ops.fftconv import conv_stream_init
 
         ir = self.compute_ir(
             params["log_decay"],
@@ -327,18 +327,18 @@ class FilteredNoiseShapingReverb:
             params.get("z_fade_in_gain"),
             noise_key,
         )
-        h = normalize_impulse(ir)
-        C = max(num_channels, h.shape[1])
-        tail = conv_stream_zero_tail((h.shape[0], C), h.shape[-1])
-        return tail, {"h": h, "ms": self.processor_channel == "midside"}
+        state, conv = conv_stream_init(
+            normalize_impulse(ir), num_channels, block_len
+        )
+        return state, {"conv": conv, "ms": self.processor_channel == "midside"}
 
-    def stream_step(self, x, tail, cache):
-        from grafx_tpu.ops.fftconv import fft_convolve_stream
+    def stream_step(self, x, state, cache):
+        from grafx_tpu.ops.fftconv import conv_stream_apply
 
         if cache["ms"]:
-            y, tail = fft_convolve_stream(lr_to_ms(x), cache["h"], tail)
-            return ms_to_lr(y), tail
-        return fft_convolve_stream(x, cache["h"], tail)
+            y, state = conv_stream_apply(lr_to_ms(x), state, cache["conv"])
+            return ms_to_lr(y), state
+        return conv_stream_apply(x, state, cache["conv"])
 
     def get_noise(self, noise_key=None):
         """Noise buffer for this call.  ``"pseudo-random"`` takes a random
@@ -469,23 +469,23 @@ class FeedbackDelayNetwork:
     # -- streaming -----------------------------------------------------
 
     def stream_init(self, num_channels, block_len, **params):
-        from grafx_tpu.ops.fftconv import conv_stream_zero_tail
+        from grafx_tpu.ops.fftconv import conv_stream_init
 
         ir = self.compute_ir(
             params["z_absorption"], params["input_gains"], params["output_gains"]
         )
-        h = normalize_impulse(ir)
-        C = max(num_channels, h.shape[1])
-        tail = conv_stream_zero_tail((h.shape[0], C), h.shape[-1])
-        return tail, {"h": h, "ms": self.processor_channel == "midside"}
+        state, conv = conv_stream_init(
+            normalize_impulse(ir), num_channels, block_len
+        )
+        return state, {"conv": conv, "ms": self.processor_channel == "midside"}
 
-    def stream_step(self, x, tail, cache):
-        from grafx_tpu.ops.fftconv import fft_convolve_stream
+    def stream_step(self, x, state, cache):
+        from grafx_tpu.ops.fftconv import conv_stream_apply
 
         if cache["ms"]:
-            y, tail = fft_convolve_stream(lr_to_ms(x), cache["h"], tail)
-            return ms_to_lr(y), tail
-        return fft_convolve_stream(x, cache["h"], tail)
+            y, state = conv_stream_apply(lr_to_ms(x), state, cache["conv"])
+            return ms_to_lr(y), state
+        return conv_stream_apply(x, state, cache["conv"])
 
     def parameter_size(self):
         return {

@@ -96,11 +96,11 @@ class FusedFIRChain:
 
     def stream_init(self, num_channels, block_len, noise_key=None, **nested):
         """Streaming contract: compose the chain IR once, stream the
-        single convolution via overlap-add tail carry.  Chains with
-        zero-phase members (``shift > 0``) would need ``shift`` samples
-        of lookahead and are rejected (stream the unfused graph or use
-        causal members)."""
-        from grafx_tpu.ops.fftconv import conv_stream_zero_tail
+        single convolution (partitioned delay line for long IRs, tail
+        carry otherwise).  Chains with zero-phase members (``shift >
+        0``) would need ``shift`` samples of lookahead and are rejected
+        (stream the unfused graph or use causal members)."""
+        from grafx_tpu.ops.fftconv import conv_stream_init
 
         h, shift, _ = self._compose_ir(nested, noise_key)
         if shift:
@@ -108,14 +108,13 @@ class FusedFIRChain:
                 f"fused chain has {shift} samples of zero-phase lookahead;"
                 " block-wise streaming supports causal chains only."
             )
-        C = max(num_channels, h.shape[1])
-        tail = conv_stream_zero_tail((h.shape[0], C), h.shape[-1])
-        return tail, {"h": h}
+        state, conv = conv_stream_init(h, num_channels, block_len)
+        return state, {"conv": conv}
 
-    def stream_step(self, x, tail, cache):
-        from grafx_tpu.ops.fftconv import fft_convolve_stream
+    def stream_step(self, x, state, cache):
+        from grafx_tpu.ops.fftconv import conv_stream_apply
 
-        return fft_convolve_stream(x, cache["h"], tail)
+        return conv_stream_apply(x, state, cache["conv"])
 
     def parameter_size(self):
         return {

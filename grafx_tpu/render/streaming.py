@@ -52,29 +52,45 @@ from grafx_tpu.render.graph import (
 def _jit_stream_init(proc, num_channels, block_len, kwargs):
     """Run ``proc.stream_init`` under jit, routing non-array (static)
     pytree leaves around the jit boundary."""
-    import jax.tree_util as jtu
-
     aux = {}
 
     def init_fn(kw):
         out = proc.stream_init(num_channels, block_len, **kw)
-        leaves, treedef = jtu.tree_flatten(out)
-        is_static = [
-            not isinstance(l, (jax.Array, jnp.ndarray)) and not hasattr(l, "shape")
-            for l in leaves
-        ]
-        aux["treedef"] = treedef
-        aux["static"] = [l if s else None for l, s in zip(leaves, is_static)]
-        aux["mask"] = is_static
-        return [l for l, s in zip(leaves, is_static) if not s]
+        arrays, aux["split"] = _partition_static(out)
+        return arrays
 
     array_leaves = jax.jit(init_fn)(kwargs)
-    it = iter(array_leaves)
-    leaves = [
-        s if m else next(it)
-        for s, m in zip(aux["static"], aux["mask"])
-    ]
-    return jtu.tree_unflatten(aux["treedef"], leaves)
+    return _combine_static(array_leaves, aux["split"])
+
+
+def _is_static_leaf(l):
+    import jax
+
+    return not isinstance(l, (jax.Array, jnp.ndarray)) and not hasattr(
+        l, "shape"
+    )
+
+
+def _partition_static(tree):
+    """Split a pytree into (array_leaves, aux) where aux carries the
+    treedef plus the non-array (static) leaves — strings, ints, bools —
+    so the array part can cross a jit boundary."""
+    import jax.tree_util as jtu
+
+    leaves, treedef = jtu.tree_flatten(tree)
+    mask = [_is_static_leaf(l) for l in leaves]
+    statics = [l if m else None for l, m in zip(leaves, mask)]
+    arrays = [l for l, m in zip(leaves, mask) if not m]
+    return arrays, (treedef, statics, mask)
+
+
+def _combine_static(arrays, aux):
+    import jax.tree_util as jtu
+
+    treedef, statics, mask = aux
+    it = iter(arrays)
+    leaves = [s if m else next(it) for s, m in zip(statics, mask)]
+    return jtu.tree_unflatten(treedef, leaves)
 
 
 class StreamRenderer:
@@ -172,13 +188,25 @@ class StreamRenderer:
                 # memoryless: call __call__ per block with the params
                 self._caches[i] = ("call", params_i)
 
+        # Caches enter the jitted step as ARGUMENTS, not closure
+        # constants: constants must be materialized host-side when the
+        # program is staged, and complex device->host transfers (the
+        # partitioned-conv spectra) are unimplemented on the tunneled
+        # TPU backend.  Static leaves (dispatch tags, partition sizes)
+        # are split out and re-merged inside the trace.
+        self._cache_arrays = {}
+        self._cache_aux = {}
+        for i, (kind, cache) in self._caches.items():
+            arrays, aux = _partition_static(cache)
+            self._cache_arrays[i] = arrays
+            self._cache_aux[i] = (kind, aux)
         self._step = jax.jit(self._step_impl)
 
     def init_state(self):
         """Fresh carried state for a new stream."""
         return dict(self._init_states)
 
-    def _step_impl(self, x_block, stream_state):
+    def _step_impl(self, x_block, stream_state, cache_arrays):
         rd = self.render_data
         stage_outputs = [x_block]
         new_state = {}
@@ -194,7 +222,8 @@ class StreamRenderer:
 
             node_type = stage.node_type
             if node_type in self.processors:
-                kind, cache = self._caches[i]
+                kind, aux = self._cache_aux[i]
+                cache = _combine_static(cache_arrays[i], aux)
                 if kind == "stream":
                     output, s = self.processors[node_type].stream_step(
                         *stage_inputs, stream_state[i], cache
@@ -226,4 +255,4 @@ class StreamRenderer:
                 f"block length {x_block.shape[-1]} != configured"
                 f" {self.block_len}"
             )
-        return self._step(x_block, stream_state)
+        return self._step(x_block, stream_state, self._cache_arrays)

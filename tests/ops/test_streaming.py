@@ -145,3 +145,30 @@ def test_ballistics_stream_matches_full():
     np.testing.assert_allclose(
         np.asarray(streamed), np.asarray(ref), rtol=1e-5, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("h_len,block", [(20000, 4096), (6000, 2048), (500, 1024)])
+def test_conv_stream_unified_matches_causal(h_len, block):
+    """conv_stream_init/apply (frequency-domain partitioned delay line
+    for long IRs, tail carry for short) == one-shot causal conv."""
+    from grafx_tpu.ops.fftconv import conv_stream_apply, conv_stream_init
+
+    rng = np.random.RandomState(5)
+    L = block * 6
+    x = jnp.asarray(rng.randn(2, 2, L), jnp.float32)
+    h = jnp.asarray(rng.randn(2, 2, h_len) * 0.02, jnp.float32)
+    ref = fft_convolve(x, h, mode="causal")
+
+    state, cache = conv_stream_init(h, 2, block)
+    if h_len > 2 * min(8192, block):
+        assert cache["kind"] == "upols"
+    outs = []
+    for k in range(L // block):
+        y, state = conv_stream_apply(
+            x[..., k * block : (k + 1) * block], state, cache
+        )
+        outs.append(y)
+    streamed = jnp.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(streamed), np.asarray(ref), rtol=1e-4, atol=2e-4
+    )
