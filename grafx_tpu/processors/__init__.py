@@ -15,6 +15,7 @@ from grafx_tpu.processors.dynamics import (
     ApproxCompressor,
     ApproxNoiseGate,
     BallisticsEnvelopeFollower,
+    BaseEnvelopeFollower,
     Compressor,
     FactorizedCompressor,
     IIREnvelopeFollower,
@@ -30,6 +31,8 @@ from grafx_tpu.processors.filter import (
     AllPassFilter,
     BandPassFilter,
     BandRejectFilter,
+    BaseParametricEqualizerFilter,
+    BaseParametricFilter,
     BiquadFilter,
     FIRFilter,
     HighPassFilter,
@@ -66,6 +69,9 @@ __all__ = [
     "BallisticsEnvelopeFollower",
     "BandPassFilter",
     "BandRejectFilter",
+    "BaseEnvelopeFollower",
+    "BaseParametricEqualizerFilter",
+    "BaseParametricFilter",
     "BiquadFilter",
     "ChebyshevDistortion",
     "Compressor",
