@@ -92,9 +92,9 @@ def config2():
     G = GRAFX(config=NodeConfigs(sorted(procs)))
     G.add_serial_chain(["in", "zpeq", "reverb", "out"])
     if os.environ.get("CONFIGS_FUSE") == "1":
-        from grafx_tpu.render import fuse_serial_fir
+        from grafx_tpu.render import fuse_serial_lti
 
-        G, procs = fuse_serial_fir(G, procs)
+        G, procs = fuse_serial_lti(G, procs)
     return _measure(G, procs, 1, 5 * SR, batch=16)
 
 

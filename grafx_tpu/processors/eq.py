@@ -16,6 +16,7 @@ from grafx_tpu.processors.filter import (
     HighShelf,
     LowShelf,
     PeakingFilter,
+    _IIRStreamMixin,
 )
 
 
@@ -98,7 +99,7 @@ class NewZeroPhaseFIREqualizer:
         return {"log_magnitude": (n_channels, n_bins)}
 
 
-class ParametricEqualizer:
+class ParametricEqualizer(_IIRStreamMixin):
     """Cascade of K biquads: low-shelf + peaks + high-shelf (or all
     peaks) (reference: eq.py:217-336)."""
 
@@ -116,10 +117,9 @@ class ParametricEqualizer:
         if processor_channel not in ("mono", "stereo", "midside"):
             raise ValueError(f"Invalid processor_channel: {processor_channel}")
 
-    def precompute(self, w0, q_inv, log_gain):
-        """``precompute`` hook: coefficient activations + backend kernel
-        build for ALL nodes of this type at once (the render executor
-        slices the result per stage — see docs/processors.md)."""
+    def compute_coefficients(self, w0, q_inv, log_gain):
+        """Biquad stacks ``(B, C_h, K, 3)`` (the _IIRStreamMixin
+        streaming/fusion protocol)."""
         w0, q_inv, A = BaseParametricEqualizerFilter.filter_parameter_activations(
             w0, q_inv, log_gain
         )
@@ -127,6 +127,13 @@ class ParametricEqualizer:
             BaseParametricEqualizerFilter.compute_common_filter_parameters(w0, q_inv)
         )
         Bs, As = self.get_biquad_coefficients(cos_w0, alpha, A)
+        return Bs, As, None
+
+    def precompute(self, w0, q_inv, log_gain):
+        """``precompute`` hook: coefficient activations + backend kernel
+        build for ALL nodes of this type at once (the render executor
+        slices the result per stage — see docs/processors.md)."""
+        Bs, As, _ = self.compute_coefficients(w0, q_inv, log_gain)
         return self.biquad.precompute(Bs, As)
 
     def __call__(self, input_signals, w0=None, q_inv=None, log_gain=None, _cache=None):
@@ -173,7 +180,7 @@ class ParametricEqualizer:
         return {k: size for k in ["w0", "q_inv", "log_gain"]}
 
 
-class GraphicEqualizer:
+class GraphicEqualizer(_IIRStreamMixin):
     """24-band bark / 31-band third-octave graphic EQ
     (reference: eq.py:339-436)."""
 
@@ -184,10 +191,16 @@ class GraphicEqualizer:
         if processor_channel not in ("mono", "stereo", "midside"):
             raise ValueError(f"Invalid processor_channel: {processor_channel}")
 
+    def compute_coefficients(self, log_gains):
+        """Biquad stacks ``(B, C_h, K, 3)`` (the _IIRStreamMixin
+        streaming/fusion protocol)."""
+        Bs, As = self.geq(log_gains)
+        return Bs, As, None
+
     def precompute(self, log_gains):
         """``precompute`` hook: band-filter design + backend kernel build
         for all nodes of this type at once."""
-        Bs, As = self.geq(log_gains)
+        Bs, As, _ = self.compute_coefficients(log_gains)
         return self.biquad.precompute(Bs, As)
 
     def __call__(self, input_signals, log_gains=None, _cache=None):

@@ -13,6 +13,7 @@ import math
 import jax
 import jax.numpy as jnp
 
+from grafx_tpu.ops.iir import iir_fsm_fir
 from grafx_tpu.processors.core.convolution import FIRConvolution
 from grafx_tpu.processors.core.iir import IIRFilter
 from grafx_tpu.processors.core.midside import lr_to_ms, ms_to_lr
@@ -25,10 +26,11 @@ ALPHA_SCALE = 0.5
 
 
 class _IIRStreamMixin:
-    """Streaming contract for processors that reduce to
+    """Streaming + LTI-fusion contracts for processors that reduce to
     ``compute_coefficients(**params) -> (Bs, As, post_gain)`` followed by
     the IIRFilter backend: build kernels once at stream start, carry the
-    filter state across blocks (see render/streaming.py)."""
+    filter state across blocks (see render/streaming.py); expose the
+    coefficient computation as a fusion capability (render/fuse.py)."""
 
     def stream_init(self, num_channels, block_len, **params):
         Bs, As, gain = self.compute_coefficients(**params)
@@ -41,6 +43,55 @@ class _IIRStreamMixin:
         if cache["gain"] is not None:
             y = cache["gain"][..., None] * y
         return y, state
+
+    # -- LTI-chain fusion capabilities (render/fuse.py) -----------------
+
+    @property
+    def lti_kind(self):
+        """Which serial-fusion family this instance belongs to:
+        ``"iir"`` (exact backend: cascades concatenate), ``"fir"`` (fsm
+        backend: the FIR approximations convolve), or ``None``
+        (midside channel handling is not channel-diagonal; the scan
+        backend is a test oracle)."""
+        if getattr(self, "processor_channel", None) == "midside":
+            return None
+        backend = self.biquad.backend
+        if backend == "fsm":
+            return "fir"
+        if backend in ("exact", "ssm", "lfilter"):
+            return "iir"
+        return None
+
+    def biquad_kernel(self, **params):
+        """IIR-LTI capability: ``(Bs, As, post_gain)`` with shapes
+        ``(B, C_h, K, 3)`` / optional ``(B, C_g)``.  A serial chain of
+        such processors equals ONE cascade of the concatenated biquad
+        stacks times the product of the post-gains — exact, since LTI
+        systems compose commutatively.  Exact backends only (for the
+        fsm backend the composite approximation would differ from the
+        sequential one; use :meth:`fir_kernel` there)."""
+        if self.biquad.backend not in ("exact", "ssm", "lfilter"):
+            raise ValueError(
+                "biquad_kernel requires an exact IIR backend, got"
+                f" {self.biquad.backend!r}"
+            )
+        return self.compute_coefficients(**params)
+
+    def fir_kernel(self, **params):
+        """FIR-LTI capability for the fsm backend: this member's own
+        frequency-sampling FIR.  Convolving members' FIRs equals
+        applying them in sequence (both are causal convolutions), so
+        fusion preserves the fsm approximation exactly."""
+        if self.biquad.backend != "fsm":
+            raise ValueError(
+                "fir_kernel is the fsm-backend capability; backend is"
+                f" {self.biquad.backend!r} (use biquad_kernel)"
+            )
+        Bs, As, gain = self.compute_coefficients(**params)
+        h = iir_fsm_fir(Bs, As, self.biquad.fsm_fir_len)
+        if gain is not None:
+            h = h * gain[..., None]
+        return h, 0, None
 
 
 class FIRFilter:
@@ -74,6 +125,10 @@ class FIRFilter:
         if self.processor_channel == "midside":
             raise NotImplementedError("midside FIR is not channel-diagonal")
         return normalize_impulse(jnp.tanh(fir)), 0, None
+
+    @property
+    def lti_kind(self):
+        return None if self.processor_channel == "midside" else "fir"
 
     def parameter_size(self):
         return {"fir": (self.num_channels, self.fir_len)}

@@ -9,7 +9,12 @@ from grafx_tpu.render.core import (
     read_tensor_or_tensor_dict,
     write_tensor,
 )
-from grafx_tpu.render.fuse import FusedFIRChain, fuse_serial_fir
+from grafx_tpu.render.fuse import (
+    FusedBiquadChain,
+    FusedFIRChain,
+    fuse_serial_fir,
+    fuse_serial_lti,
+)
 from grafx_tpu.render.graph import make_render_fn, render_grafx
 from grafx_tpu.render.order import compute_render_order, reorder_for_fast_render
 from grafx_tpu.render.prepare import (
@@ -22,6 +27,7 @@ from grafx_tpu.render.prepare import (
 from grafx_tpu.render.streaming import StreamRenderer
 
 __all__ = [
+    "FusedBiquadChain",
     "FusedFIRChain",
     "RenderData",
     "StreamRenderer",
@@ -34,6 +40,7 @@ __all__ = [
     "expand_tensor_or_tensor_dict",
     "flatten_batch_and_node",
     "fuse_serial_fir",
+    "fuse_serial_lti",
     "make_render_fn",
     "prepare_render",
     "read_tensor",

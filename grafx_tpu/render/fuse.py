@@ -1,30 +1,49 @@
 """LTI-chain fusion: a graph-compiler pass that folds serial runs of
-FIR-LTI processors into one convolution.
+LTI processors into one operator.
 
-A serial chain of linear-time-invariant processors is itself LTI: its
-impulse responses compose by convolution, which is *much* shorter than
-the audio.  Folding a run of k FIR-LTI nodes replaces k full-length
-signal convolutions (each several audio-length FFT passes) with one,
-plus k-1 cheap IR-length convolutions — on TPU, where long-FFT passes
-dominate such graphs (BASELINE.md round 3), this is a large win
-(e.g. the zero-phase-EQ -> reverb chain of BASELINE config 2).
+A serial chain of linear-time-invariant processors is itself LTI, so
+its members compose *before* touching the audio.  Two fusion families:
+
+* **FIR** — impulse responses compose by convolution, which is *much*
+  shorter than the audio.  Folding a run of k FIR-LTI nodes replaces k
+  full-length signal convolutions (each several audio-length FFT
+  passes) with one, plus k-1 cheap IR-length convolutions — on TPU,
+  where long-FFT passes dominate such graphs (BASELINE.md round 3),
+  this is a large win (e.g. the zero-phase-EQ -> reverb chain of
+  BASELINE config 2: 16.9 -> 12.7 ms).
+* **IIR** — exact-backend biquad cascades compose by concatenating
+  their section stacks: k blocked-cascade applies (each a zero-state
+  FFT/Toeplitz pass + a state-propagation scan + a kernel build)
+  collapse into ONE with more sections, which the blocked algorithm
+  absorbs almost for free (17 chains of 4 serial RBJ filters:
+  7.5 -> 3.5 ms/step measured, BASELINE.md round 3).
 
 This optimization has no counterpart in the reference (its executor
 runs every node); it is the graph-level analog of XLA operator fusion,
 applied where XLA cannot see the algebra.
 
-Capability contract: a processor is FIR-LTI if it implements
+Capability contract: a processor joins the ``"fir"`` family if it
+implements
 
     fir_kernel(**params) -> (h, shift, aux_or_None)
 
 meaning it equals ``y = crop(x * h, start=shift)`` with a causal
 length-``L_h`` kernel ``h`` of shape ``(B, C_h, L_h)`` (``shift`` > 0
-encodes zero-phase-style lookahead).  Channel-diagonal modes only —
-midside members apply a 2x2 matrix convolution in L/R and raise.
+encodes zero-phase-style lookahead), and the ``"iir"`` family if it
+implements
+
+    biquad_kernel(**params) -> (Bs, As, post_gain_or_None)
+
+with ``(B, C_h, K, 3)`` second-order-section stacks (exact backend
+semantics).  A ``lti_kind`` property ("fir"/"iir"/None) arbitrates for
+processors that could do either (fsm-backend cascades join "fir" with
+their own FIR — exact; exact-backend cascades join "iir").
+Channel-diagonal modes only — midside members report ``lti_kind =
+None``.
 
 Use::
 
-    G2, processors2 = fuse_serial_fir(G, processors)
+    G2, processors2 = fuse_serial_lti(G, processors)
     # then schedule / prepare / create parameters for G2 as usual
 
 Fused nodes get a composite type named ``"fused(a+b+...)"`` whose
@@ -122,40 +141,174 @@ class FusedFIRChain:
         }
 
 
-def _fusable(node_type, processors):
+class FusedBiquadChain:
+    """The processor behind a fused serial run of exact-backend
+    biquad-cascade processors (EQs, RBJ filters, pole-zero...).
+
+    A serial chain of biquad cascades IS one longer cascade: the
+    members' coefficient stacks concatenate along the section axis and
+    the chain runs through ONE blocked exact-cascade apply
+    (:func:`grafx_tpu.ops.iir.biquad_exact`) instead of one per member —
+    one zero-state-response pass, one state-propagation scan, and one
+    kernel build replace k of each.  Member post-gains (scalars per
+    node, e.g. :class:`~grafx_tpu.processors.filter.PoleZeroFilter`'s)
+    commute with the LTI chain and multiply into one output gain.
+
+    Exactness: the fused cascade computes the same filter as the
+    sequential application; both run the exact-class blocked algorithm,
+    so outputs agree to the exact path's round-off (gated by
+    tests/graph/test_fuse.py).
+    """
+
+    def __init__(self, named_processors):
+        self.members = list(named_processors)
+        from grafx_tpu.processors.core.iir import IIRFilter
+
+        block = max(
+            p.biquad.exact_block_size for _, p in self.members
+        )
+        self.biquad = IIRFilter(
+            order=2, backend="exact", exact_block_size=block
+        )
+
+    def _compose(self, nested_params):
+        import jax.numpy as jnp
+
+        Bs_list, As_list = [], []
+        gain = None
+        for name, proc in self.members:
+            Bs, As, g = proc.biquad_kernel(**nested_params[name])
+            Bs_list.append(Bs)
+            As_list.append(As)
+            if g is not None:
+                gain = g if gain is None else gain * g
+        B = Bs_list[0].shape[0]
+        C = max(b.shape[1] for b in Bs_list)
+
+        def cat(parts):
+            return jnp.concatenate(
+                [
+                    jnp.broadcast_to(p, (B, C) + p.shape[2:])
+                    for p in parts
+                ],
+                axis=2,
+            )
+
+        return cat(Bs_list), cat(As_list), gain
+
+    def precompute(self, **nested_params):
+        """``precompute`` hook: one kernel build for the whole chain."""
+        Bs, As, gain = self._compose(nested_params)
+        cache = dict(self.biquad.precompute(Bs, As))
+        if gain is not None:
+            cache["post_gain"] = gain
+        return cache
+
+    @staticmethod
+    def _split(cache):
+        return (
+            {k: v for k, v in cache.items() if k != "post_gain"},
+            cache.get("post_gain"),
+        )
+
+    def __call__(self, input_signals, _cache=None, **nested_params):
+        if _cache is None:
+            _cache = self.precompute(**nested_params)
+        iir_cache, gain = self._split(_cache)
+        y = self.biquad(input_signals, cache=iir_cache)
+        if gain is not None:
+            y = gain[..., None] * y
+        return y
+
+    # -- streaming -----------------------------------------------------
+
+    def stream_init(self, num_channels, block_len, **nested_params):
+        cache = self.precompute(**nested_params)
+        iir_cache, _ = self._split(cache)
+        state = self.biquad.stream_zero_state(
+            iir_cache, num_channels, block_len
+        )
+        return state, cache
+
+    def stream_step(self, x, state, cache):
+        iir_cache, gain = self._split(cache)
+        y, state = self.biquad.stream(x, state, iir_cache)
+        if gain is not None:
+            y = gain[..., None] * y
+        return y, state
+
+    def parameter_size(self):
+        return {
+            name: proc.parameter_size() for name, proc in self.members
+        }
+
+
+_MISSING = object()
+
+_FUSED_CLASS = {"fir": FusedFIRChain, "iir": FusedBiquadChain}
+
+
+def _lti_kind(node_type, processors):
+    """``"fir"`` / ``"iir"`` / ``None`` for a node type.
+
+    Processors may declare a ``lti_kind`` property (the filter/EQ
+    classes compute it from their backend and channel mode); processors
+    that predate the property but implement ``fir_kernel`` default to
+    ``"fir"``."""
     proc = processors.get(node_type)
-    return proc is not None and hasattr(proc, "fir_kernel")
+    if proc is None or node_type in UTILITY_TYPES:
+        return None
+    kind = getattr(proc, "lti_kind", _MISSING)
+    if kind is not _MISSING:
+        return kind
+    return "fir" if hasattr(proc, "fir_kernel") else None
 
 
 def fuse_serial_fir(G, processors, min_run=2):
-    """Rewrite ``G``, folding maximal serial runs of FIR-LTI nodes.
+    """Fold maximal serial runs of FIR-LTI nodes (see
+    :func:`fuse_serial_lti`; this is the ``kinds=("fir",)`` slice,
+    kept as the original entry point)."""
+    return fuse_serial_lti(G, processors, min_run=min_run, kinds=("fir",))
+
+
+def fuse_serial_lti(G, processors, min_run=2, kinds=("fir", "iir")):
+    """Rewrite ``G``, folding maximal serial runs of same-kind LTI nodes.
 
     A run is a path ``n_1 -> ... -> n_k`` where every node's processor
-    implements ``fir_kernel``, every interior edge is the single
-    out-edge of its source and single in-edge of its target, and no
-    node is an ``in``/``out``/``mix`` utility.
+    has the same LTI fusion kind (``"fir"``: implements ``fir_kernel``;
+    ``"iir"``: exact-backend biquad cascade with ``biquad_kernel``),
+    every interior edge is the single out-edge of its source and single
+    in-edge of its target, and no node is an ``in``/``out``/``mix``
+    utility.  FIR runs fold into one convolution
+    (:class:`FusedFIRChain`); IIR runs fold into one longer exact
+    cascade (:class:`FusedBiquadChain`).
 
     Args:
         G: a :class:`GRAFX` graph (unscheduled).
         processors: node-type -> processor dict.
         min_run: minimum run length to fold (default 2).
+        kinds: which fusion families to apply.
 
     Returns:
         ``(G_fused, processors_fused)`` — a NEW graph over a config
         extended with the composite types, and the processor dict
-        extended with the :class:`FusedFIRChain` instances.  Build
-        parameters for the fused graph (``create_empty_parameters`` on
-        ``G_fused``); identical type-sequences share one composite type
-        (so fused nodes still batch across chains).
+        extended with the fused-chain instances.  Build parameters for
+        the fused graph (``create_empty_parameters`` on ``G_fused``);
+        identical type-sequences share one composite type (so fused
+        nodes still batch across chains).
     """
     # --- find runs ------------------------------------------------------
+    def kind_of(node):
+        k = _lti_kind(G.nodes[node]["node_type"], processors)
+        return k if k in kinds else None
+
     in_run = set()
-    runs = []
+    runs = []  # [(kind, [nodes...]), ...]
     for n in sorted(G.nodes):
         if n in in_run:
             continue
-        t = G.nodes[n]["node_type"]
-        if t in UTILITY_TYPES or not _fusable(t, processors):
+        k = kind_of(n)
+        if k is None:
             continue
         # start a run only at a node whose predecessor cannot extend it
         preds = list(G.predecessors(n))
@@ -163,8 +316,7 @@ def fuse_serial_fir(G, processors, min_run=2):
             len(preds) == 1
             and G.out_degree(preds[0]) == 1
             and G.in_degree(n) == 1
-            and _fusable(G.nodes[preds[0]].get("node_type"), processors)
-            and G.nodes[preds[0]].get("node_type") not in UTILITY_TYPES
+            and kind_of(preds[0]) == k
         ):
             continue  # an earlier start will cover this node
         run = [n]
@@ -174,17 +326,12 @@ def fuse_serial_fir(G, processors, min_run=2):
             if len(succs) != 1 or G.out_degree(cur) != 1:
                 break
             nxt = succs[0]
-            t_next = G.nodes[nxt]["node_type"]
-            if (
-                G.in_degree(nxt) != 1
-                or t_next in UTILITY_TYPES
-                or not _fusable(t_next, processors)
-            ):
+            if G.in_degree(nxt) != 1 or kind_of(nxt) != k:
                 break
             run.append(nxt)
             cur = nxt
         if len(run) >= min_run:
-            runs.append(run)
+            runs.append((k, run))
             in_run.update(run)
 
     if not runs:
@@ -193,12 +340,12 @@ def fuse_serial_fir(G, processors, min_run=2):
     # --- composite types ------------------------------------------------
     processors_fused = dict(processors)
     run_type = {}
-    for run in runs:
+    for k, run in runs:
         seq = tuple(G.nodes[n]["node_type"] for n in run)
         if seq not in run_type:
             fused_name = "fused(" + "+".join(seq) + ")"
             run_type[seq] = fused_name
-            processors_fused[fused_name] = FusedFIRChain(
+            processors_fused[fused_name] = _FUSED_CLASS[k](
                 [(f"{i}_{t}", processors[t]) for i, t in enumerate(seq)]
             )
 
@@ -216,7 +363,7 @@ def fuse_serial_fir(G, processors, min_run=2):
     G2 = GRAFX(config=config, invalid_op=G.invalid_op)
 
     node_map = {}  # old node -> new node carrying its output
-    for run in runs:
+    for _, run in runs:
         seq = tuple(G.nodes[n]["node_type"] for n in run)
         fused = G2.add(run_type[seq])
         for n in run:
@@ -226,7 +373,9 @@ def fuse_serial_fir(G, processors, min_run=2):
             node_map[n] = G2.add(G.nodes[n]["node_type"])
 
     interior = {
-        (run[i], run[i + 1]) for run in runs for i in range(len(run) - 1)
+        (run[i], run[i + 1])
+        for _, run in runs
+        for i in range(len(run) - 1)
     }
     for u, v, data in G.edges(data=True):
         if (u, v) in interior:

@@ -191,3 +191,175 @@ def test_fuse_preserves_mimo_edges():
     scale = np.abs(y_ref).max() + 1e-9
     # gain+delay run is causal: exact match
     assert np.abs(y_fused - y_ref).max() / scale < 1e-4
+
+
+# -- IIR-cascade fusion (fuse_serial_lti) ------------------------------
+
+
+def _iir_chain_setup(backend):
+    from grafx_tpu.processors import (
+        GraphicEqualizer,
+        LowPassFilter,
+        ParametricEqualizer,
+        PoleZeroFilter,
+    )
+
+    procs = {
+        "peq": ParametricEqualizer(num_filters=6, backend=backend),
+        "geq": GraphicEqualizer(backend=backend),
+        "lp": LowPassFilter(backend=backend),
+        "pz": PoleZeroFilter(backend=backend),
+    }
+    G = GRAFX(config=NodeConfigs(sorted(procs)))
+    G.add_serial_chain(["in", "peq", "geq", "lp", "pz", "out"])
+    params = create_empty_parameters(procs, G, key=jax.random.PRNGKey(7))
+    # non-trivial parameters (empty params make most filters identity)
+    params = jax.tree.map(
+        lambda a: 0.3
+        * jax.random.normal(jax.random.PRNGKey(a.size % 9973), a.shape),
+        params,
+    )
+    return G, procs, params
+
+
+def test_fuse_iir_cascade_chain_matches():
+    """A serial run of exact-backend biquad processors folds into ONE
+    cascade (FusedBiquadChain) whose output and gradients match the
+    per-node render; the PoleZeroFilter's post-gain is preserved."""
+    from grafx_tpu.render import FusedBiquadChain, fuse_serial_lti
+
+    G, procs, params = _iir_chain_setup("exact")
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 2**13))
+    y_ref, _ = _render(G, procs, params, x)
+
+    G2, procs2 = fuse_serial_lti(G, procs)
+    fused_types = [t for t in procs2 if t.startswith("fused(")]
+    assert fused_types == ["fused(peq+geq+lp+pz)"]
+    assert isinstance(procs2[fused_types[0]], FusedBiquadChain)
+
+    params2 = _fused_params_from(params, G2, procs2)
+    y_fused, _ = _render(G2, procs2, params2, x)
+
+    scale = np.abs(y_ref).max() + 1e-9
+    rel = np.abs(y_fused - y_ref).max() / scale
+    assert rel < 1e-4, rel  # both exact-class algorithms, < -80 dB
+
+    # gradient parity member-by-member
+    def loss_u(p):
+        G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
+        out = make_render_fn(procs, prepare_render(G_t), jit=False)(x, p)
+        return jnp.sum(out[0] ** 2)
+
+    def loss_f(p):
+        G_t = reorder_for_fast_render(convert_to_tensor(G2), method="beam")
+        out = make_render_fn(procs2, prepare_render(G_t), jit=False)(x, p)
+        return jnp.sum(out[0] ** 2)
+
+    gu = jax.grad(loss_u)(params)
+    gf = jax.grad(loss_f)(params2)
+    fused = fused_types[0]
+    for mname, _ in procs2[fused].members:
+        orig = mname.split("_", 1)[1]
+        for k, a in gu[orig].items():
+            b = gf[fused][mname][k]
+            e = np.abs(np.asarray(a - b)).max() / (
+                np.abs(np.asarray(a)).max() + 1e-9
+            )
+            assert e < 1e-3, (orig, k, e)
+
+
+def test_fuse_fsm_backend_joins_fir_fusion():
+    """fsm-backend cascade processors expose their own FIR and join the
+    FIR fusion family: convolving member FIRs == applying them in
+    sequence (exact, both causal convolutions)."""
+    from grafx_tpu.render import FusedFIRChain, fuse_serial_lti
+
+    G, procs, params = _iir_chain_setup("fsm")
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 2, 2**13))
+    y_ref, _ = _render(G, procs, params, x)
+
+    G2, procs2 = fuse_serial_lti(G, procs)
+    fused_types = [t for t in procs2 if t.startswith("fused(")]
+    assert fused_types == ["fused(peq+geq+lp+pz)"]
+    assert isinstance(procs2[fused_types[0]], FusedFIRChain)
+
+    y_fused, _ = _render(G2, procs2, _fused_params_from(params, G2, procs2), x)
+    scale = np.abs(y_ref).max() + 1e-9
+    assert np.abs(y_fused - y_ref).max() / scale < 3e-5
+
+
+def test_fuse_kind_boundary_splits_runs():
+    """FIR and IIR fusion families do not mix: a chain of two zero-phase
+    FIR EQs followed by two exact-backend filters produces one fused
+    type per family."""
+    from grafx_tpu.processors import LowPassFilter, ParametricEqualizer
+    from grafx_tpu.render import fuse_serial_lti
+
+    procs = {
+        "zp": NewZeroPhaseFIREqualizer(num_frequency_bins=128),
+        "zp2": NewZeroPhaseFIREqualizer(num_frequency_bins=128),
+        "peq": ParametricEqualizer(num_filters=4, backend="exact"),
+        "lp": LowPassFilter(backend="exact"),
+    }
+    G = GRAFX(config=NodeConfigs(sorted(procs)))
+    G.add_serial_chain(["in", "zp", "zp2", "peq", "lp", "out"])
+    G2, procs2 = fuse_serial_lti(G, procs)
+    fused_types = sorted(t for t in procs2 if t.startswith("fused("))
+    assert fused_types == ["fused(peq+lp)", "fused(zp+zp2)"]
+
+
+def test_fuse_skips_midside_iir():
+    """midside channel processing is not channel-diagonal; such nodes
+    must not join an IIR fusion run."""
+    from grafx_tpu.processors import GraphicEqualizer, ParametricEqualizer
+    from grafx_tpu.render import fuse_serial_lti
+
+    procs = {
+        "peq": ParametricEqualizer(
+            num_filters=4, backend="exact", processor_channel="midside"
+        ),
+        "geq": GraphicEqualizer(backend="exact"),
+    }
+    assert procs["peq"].lti_kind is None
+    G = GRAFX(config=NodeConfigs(sorted(procs)))
+    G.add_serial_chain(["in", "peq", "geq", "out"])
+    G2, procs2 = fuse_serial_lti(G, procs)
+    assert not [t for t in procs2 if t.startswith("fused(")]
+
+
+def test_fused_iir_chain_streams():
+    """FusedBiquadChain's streaming contract: block-wise application
+    with carried cascade state reproduces the one-shot output."""
+    from grafx_tpu.processors import LowPassFilter, PeakingFilter
+    from grafx_tpu.render.fuse import FusedBiquadChain
+
+    members = [
+        ("0_pk", PeakingFilter(backend="exact")),
+        ("1_lp", LowPassFilter(backend="exact")),
+    ]
+    chain = FusedBiquadChain(members)
+    key = jax.random.PRNGKey(9)
+    params = {
+        "0_pk": {
+            "w0": 0.3 * jax.random.normal(key, (3, 1)),
+            "q_inv": jnp.zeros((3, 1)),
+            "log_gain": 0.5 * jnp.ones((3, 1)),
+        },
+        "1_lp": {
+            "w0": jnp.ones((3, 1)),
+            "q_inv": jnp.zeros((3, 1)),
+        },
+    }
+    x = jax.random.normal(jax.random.PRNGKey(10), (3, 2, 2048))
+    y_full = chain(x, **params)
+
+    block = 512
+    state, cache = chain.stream_init(2, block, **params)
+    outs = []
+    for i in range(0, 2048, block):
+        y, state = chain.stream_step(x[..., i : i + block], state, cache)
+        outs.append(y)
+    y_stream = jnp.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(y_stream), np.asarray(y_full), atol=2e-5
+    )
