@@ -99,7 +99,12 @@ def config2():
 
 
 def config3():
-    """Biquad/SVF IIR filter-bank graph, exact backend."""
+    """Biquad/SVF IIR filter-bank graph, exact backend.
+
+    ``CONFIGS_FUSE=1`` applies IIR-cascade fusion (biquad+svf runs fold
+    into one cascade per chain)."""
+    import os
+
     procs = {
         "biquad": BiquadFilter(num_filters=4, backend="exact"),
         "svf": StateVariableFilter(num_filters=4, backend="exact"),
@@ -113,6 +118,10 @@ def config3():
     [G.connect(e, mix) for e in ends]
     out = G.add("out")
     G.connect(mix, out)
+    if os.environ.get("CONFIGS_FUSE") == "1":
+        from grafx_tpu.render import fuse_serial_lti
+
+        G, procs = fuse_serial_lti(G, procs)
     return _measure(G, procs, 8, 2**17)
 
 
@@ -142,7 +151,53 @@ def config5():
     return None
 
 
-CONFIGS = {"1": config1, "2": config2, "3": config3, "4": config4, "5": config5}
+def config6():
+    """Mastering-style serial-filter workload: 17 chains of
+    LowShelf -> Peaking -> HighShelf -> LowPass -> gain, batch 4, 2^17.
+
+    The showcase for IIR-cascade fusion (``CONFIGS_FUSE=1``): the four
+    serial exact-cascade applies per chain fold into one
+    (BASELINE.md round 3: 7.5 -> 3.5 ms/step measured)."""
+    import os
+
+    from grafx_tpu.processors import (
+        HighShelf,
+        LowPassFilter,
+        LowShelf,
+        PeakingFilter,
+    )
+
+    procs = {
+        "ls": LowShelf(backend="exact"),
+        "pk": PeakingFilter(backend="exact"),
+        "hs": HighShelf(backend="exact"),
+        "lp": LowPassFilter(backend="exact"),
+        "gain": StereoGain(),
+    }
+    G = GRAFX(config=NodeConfigs(list(procs)))
+    ends = []
+    for _ in range(17):
+        _, last = G.add_serial_chain(["in", "ls", "pk", "hs", "lp", "gain"])
+        ends.append(last)
+    mix = G.add("mix")
+    [G.connect(e, mix) for e in ends]
+    out = G.add("out")
+    G.connect(mix, out)
+    if os.environ.get("CONFIGS_FUSE") == "1":
+        from grafx_tpu.render import fuse_serial_lti
+
+        G, procs = fuse_serial_lti(G, procs)
+    return _measure(G, procs, 17, 2**17, batch=4)
+
+
+CONFIGS = {
+    "1": config1,
+    "2": config2,
+    "3": config3,
+    "4": config4,
+    "5": config5,
+    "6": config6,
+}
 
 
 def main():
