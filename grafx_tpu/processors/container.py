@@ -102,6 +102,34 @@ class DryWet:
             size["drywet_weight"] = (1,)
         return size
 
+    # -- LTI-chain fusion capability (render/fuse.py) -------------------
+
+    @property
+    def lti_kind(self):
+        """A dry/wet mix of an FIR-LTI processor is FIR-LTI:
+        ``h = w h_wet + (1-w) d_shift``.  Requires the weight in the
+        node's own parameters (``external_param=False``) — with an
+        external weight the fused composite could not route it to the
+        member.  The IIR family has no parallel-sum form (a dry path
+        beside a cascade is not a cascade)."""
+        from grafx_tpu.processors.core.utils import lti_kind_of
+
+        if self.external_param:
+            return None
+        return "fir" if lti_kind_of(self.processor) == "fir" else None
+
+    def fir_kernel(self, drywet_weight, noise_key=None, **processor_kwargs):
+        kw = dict(processor_kwargs)
+        if noise_key is not None and accepts_noise_key(
+            self.processor.fir_kernel
+        ):
+            kw["noise_key"] = noise_key
+        h_wet, shift, aux = self.processor.fir_kernel(**kw)
+        w = jax.nn.sigmoid(drywet_weight).reshape(-1, 1, 1)
+        h = w * h_wet
+        h = h.at[..., shift].add((1.0 - w[..., 0]) * jnp.ones_like(h[..., 0]))
+        return h, shift, aux
+
 
 class SerialChain:
     """Apply processors in order, nesting their parameters by name
@@ -143,6 +171,36 @@ class SerialChain:
 
     def parameter_size(self):
         return {k: v.parameter_size() for k, v in self.processors.items()}
+
+    # -- LTI-chain fusion capabilities (render/fuse.py) -----------------
+
+    @property
+    def lti_kind(self):
+        """A serial chain whose members all share one LTI fusion family
+        is itself a member of that family (IRs convolve / cascades
+        concatenate); mixed or non-LTI members make it opaque."""
+        from grafx_tpu.processors.core.utils import lti_kind_of
+
+        kinds = {lti_kind_of(p) for p in self.processors.values()}
+        if len(kinds) == 1:
+            k = kinds.pop()
+            if k in ("fir", "iir"):
+                return k
+        return None
+
+    def fir_kernel(self, noise_key=None, **processors_kwargs):
+        from grafx_tpu.render.fuse import compose_fir_kernels
+
+        return compose_fir_kernels(
+            list(self.processors.items()), processors_kwargs, noise_key
+        )
+
+    def biquad_kernel(self, **processors_kwargs):
+        from grafx_tpu.render.fuse import compose_biquad_kernels
+
+        return compose_biquad_kernels(
+            list(self.processors.items()), processors_kwargs
+        )
 
 
 class ParallelMix:
@@ -215,6 +273,57 @@ class ParallelMix:
         size = {k: v.parameter_size() for k, v in self.processors.items()}
         size["parallel_weights"] = len(self.processors)
         return size
+
+    # -- LTI-chain fusion capability (render/fuse.py) -------------------
+
+    @property
+    def lti_kind(self):
+        """A weighted sum of FIR-LTI branches is FIR-LTI: the branch IRs
+        shift-align and sum.  (No IIR form: a sum of cascades is not a
+        cascade.)"""
+        from grafx_tpu.processors.core.utils import lti_kind_of
+
+        if all(
+            lti_kind_of(p) == "fir" for p in self.processors.values()
+        ):
+            return "fir"
+        return None
+
+    def fir_kernel(self, parallel_weights, noise_key=None, **kwargs):
+        from grafx_tpu.processors.core.utils import accepts_noise_key
+
+        if self.activation == "softmax":
+            weights = jax.nn.softmax(parallel_weights, axis=-1)
+        else:
+            weights = jax.nn.softplus(parallel_weights) * self.mult
+
+        kernels = []
+        intermediates = {}
+        for i, (k, processor) in enumerate(self.processors.items()):
+            kw = dict(kwargs[k])
+            if noise_key is not None and accepts_noise_key(
+                processor.fir_kernel
+            ):
+                kw["noise_key"] = jax.random.fold_in(noise_key, i)
+            hi, si, aux = processor.fir_kernel(**kw)
+            if aux:
+                intermediates[k] = aux
+            kernels.append((hi, si))
+
+        # shift-align: a branch with shift s_i and total shift S is the
+        # same operator as its IR delayed by S - s_i read at shift S
+        shift = max(s for _, s in kernels)
+        total_len = max(h.shape[-1] + shift - s for h, s in kernels)
+        C = max(h.shape[-2] for h, _ in kernels)
+        h_sum = None
+        for i, (hi, si) in enumerate(kernels):
+            pre = shift - si
+            post = total_len - hi.shape[-1] - pre
+            hi = jnp.pad(hi, [(0, 0)] * (hi.ndim - 1) + [(pre, post)])
+            hi = jnp.broadcast_to(hi, hi.shape[:-2] + (C, hi.shape[-1]))
+            hi = hi * weights[..., i, None, None]
+            h_sum = hi if h_sum is None else h_sum + hi
+        return h_sum, shift, intermediates or None
 
 
 class GainStagingRegularization:

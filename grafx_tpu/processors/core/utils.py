@@ -29,6 +29,24 @@ def accepts_noise_key(processor):
     return "noise_key" in sig.parameters
 
 
+_MISSING = object()
+
+
+def lti_kind_of(processor):
+    """LTI serial-fusion family of ``processor`` (render/fuse.py):
+    ``"fir"`` (implements ``fir_kernel``), ``"iir"`` (exact-backend
+    biquad cascade with ``biquad_kernel``), or ``None``.  Processors may
+    declare a ``lti_kind`` property to arbitrate (e.g. backend- or
+    channel-mode-dependent); otherwise having ``fir_kernel`` implies
+    ``"fir"``."""
+    if processor is None:
+        return None
+    kind = getattr(processor, "lti_kind", _MISSING)
+    if kind is not _MISSING:
+        return kind
+    return "fir" if hasattr(processor, "fir_kernel") else None
+
+
 def normalize_impulse(ir, eps=1e-12):
     """Normalize an IR batch ``(B, C, L)`` to unit mean channel energy."""
     assert ir.ndim == 3

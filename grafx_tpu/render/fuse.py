@@ -39,7 +39,10 @@ semantics).  A ``lti_kind`` property ("fir"/"iir"/None) arbitrates for
 processors that could do either (fsm-backend cascades join "fir" with
 their own FIR — exact; exact-backend cascades join "iir").
 Channel-diagonal modes only — midside members report ``lti_kind =
-None``.
+None``.  Containers participate: a ``SerialChain`` of same-kind LTI
+members, a ``DryWet`` wrapping an FIR member (internal weight:
+``h = w h_wet + (1-w) d_shift``), and a ``ParallelMix`` of FIR branches
+(weighted shift-aligned IR sum) are themselves LTI and join runs.
 
 Use::
 
@@ -66,6 +69,63 @@ from grafx_tpu.data.graph import GRAFX
 from grafx_tpu.data.configs import NodeConfigs
 
 
+def compose_fir_kernels(members, nested_params, noise_key=None):
+    """Compose ``[(name, processor), ...]`` FIR-LTI members into one
+    ``(h, shift, intermediates)`` kernel: IRs convolve, shifts add, aux
+    dicts nest by member name.  Shared by :class:`FusedFIRChain` and the
+    LTI capabilities of the containers
+    (:class:`~grafx_tpu.processors.container.SerialChain`...)."""
+    import jax
+
+    from grafx_tpu.ops.fftconv import fft_convolve
+    from grafx_tpu.processors.core.utils import accepts_noise_key
+
+    h = None
+    h_len = 0
+    shift = 0
+    intermediates = {}
+    for i, (name, proc) in enumerate(members):
+        kw = dict(nested_params[name])
+        if noise_key is not None and accepts_noise_key(proc.fir_kernel):
+            kw["noise_key"] = jax.random.fold_in(noise_key, i)
+        hi, si, aux = proc.fir_kernel(**kw)
+        shift += si
+        if aux:
+            intermediates[name] = aux
+        if h is None:
+            h, h_len = hi, hi.shape[-1]
+        else:
+            h_len = h_len + hi.shape[-1] - 1
+            h = fft_convolve(h, hi, mode="full")[..., :h_len]
+    return h, shift, intermediates
+
+
+def compose_biquad_kernels(members, nested_params):
+    """Concatenate ``[(name, processor), ...]`` IIR-cascade members into
+    one ``(Bs, As, post_gain)`` section stack (shared by
+    :class:`FusedBiquadChain` and the containers' IIR capability)."""
+    import jax.numpy as jnp
+
+    Bs_list, As_list = [], []
+    gain = None
+    for name, proc in members:
+        Bs, As, g = proc.biquad_kernel(**nested_params[name])
+        Bs_list.append(Bs)
+        As_list.append(As)
+        if g is not None:
+            gain = g if gain is None else gain * g
+    B = Bs_list[0].shape[0]
+    C = max(b.shape[1] for b in Bs_list)
+
+    def cat(parts):
+        return jnp.concatenate(
+            [jnp.broadcast_to(p, (B, C) + p.shape[2:]) for p in parts],
+            axis=2,
+        )
+
+    return cat(Bs_list), cat(As_list), gain
+
+
 class FusedFIRChain:
     """The processor behind a fused serial FIR-LTI run.
 
@@ -87,29 +147,7 @@ class FusedFIRChain:
         return out
 
     def _compose_ir(self, nested_params, noise_key=None):
-        import jax
-
-        from grafx_tpu.ops.fftconv import fft_convolve
-        from grafx_tpu.processors.core.utils import accepts_noise_key
-
-        h = None
-        h_len = 0
-        shift = 0
-        intermediates = {}
-        for i, (name, proc) in enumerate(self.members):
-            kw = dict(nested_params[name])
-            if noise_key is not None and accepts_noise_key(proc.fir_kernel):
-                kw["noise_key"] = jax.random.fold_in(noise_key, i)
-            hi, si, aux = proc.fir_kernel(**kw)
-            shift += si
-            if aux:
-                intermediates[name] = aux
-            if h is None:
-                h, h_len = hi, hi.shape[-1]
-            else:
-                h_len = h_len + hi.shape[-1] - 1
-                h = fft_convolve(h, hi, mode="full")[..., :h_len]
-        return h, shift, intermediates
+        return compose_fir_kernels(self.members, nested_params, noise_key)
 
     # -- streaming -----------------------------------------------------
 
@@ -141,6 +179,18 @@ class FusedFIRChain:
         }
 
 
+def _member_block_sizes(proc):
+    """Exact-backend block sizes used inside ``proc`` (recurses into
+    containers so a fused chain adopts the largest member block)."""
+    bq = getattr(proc, "biquad", None)
+    if bq is not None and getattr(bq, "exact_block_size", None):
+        return [bq.exact_block_size]
+    inner = getattr(proc, "processors", None)
+    if isinstance(inner, dict):
+        return [b for p in inner.values() for b in _member_block_sizes(p)]
+    return []
+
+
 class FusedBiquadChain:
     """The processor behind a fused serial run of exact-backend
     biquad-cascade processors (EQs, RBJ filters, pole-zero...).
@@ -164,37 +214,17 @@ class FusedBiquadChain:
         self.members = list(named_processors)
         from grafx_tpu.processors.core.iir import IIRFilter
 
-        block = max(
-            p.biquad.exact_block_size for _, p in self.members
-        )
+        blocks = [
+            b for _, p in self.members for b in _member_block_sizes(p)
+        ]
         self.biquad = IIRFilter(
-            order=2, backend="exact", exact_block_size=block
+            order=2,
+            backend="exact",
+            exact_block_size=max(blocks) if blocks else 128,
         )
 
     def _compose(self, nested_params):
-        import jax.numpy as jnp
-
-        Bs_list, As_list = [], []
-        gain = None
-        for name, proc in self.members:
-            Bs, As, g = proc.biquad_kernel(**nested_params[name])
-            Bs_list.append(Bs)
-            As_list.append(As)
-            if g is not None:
-                gain = g if gain is None else gain * g
-        B = Bs_list[0].shape[0]
-        C = max(b.shape[1] for b in Bs_list)
-
-        def cat(parts):
-            return jnp.concatenate(
-                [
-                    jnp.broadcast_to(p, (B, C) + p.shape[2:])
-                    for p in parts
-                ],
-                axis=2,
-            )
-
-        return cat(Bs_list), cat(As_list), gain
+        return compose_biquad_kernels(self.members, nested_params)
 
     def precompute(self, **nested_params):
         """``precompute`` hook: one kernel build for the whole chain."""
@@ -243,25 +273,17 @@ class FusedBiquadChain:
         }
 
 
-_MISSING = object()
-
 _FUSED_CLASS = {"fir": FusedFIRChain, "iir": FusedBiquadChain}
 
 
 def _lti_kind(node_type, processors):
-    """``"fir"`` / ``"iir"`` / ``None`` for a node type.
+    """``"fir"`` / ``"iir"`` / ``None`` for a node type (see
+    :func:`grafx_tpu.processors.core.utils.lti_kind_of`)."""
+    from grafx_tpu.processors.core.utils import lti_kind_of
 
-    Processors may declare a ``lti_kind`` property (the filter/EQ
-    classes compute it from their backend and channel mode); processors
-    that predate the property but implement ``fir_kernel`` default to
-    ``"fir"``."""
-    proc = processors.get(node_type)
-    if proc is None or node_type in UTILITY_TYPES:
+    if node_type in UTILITY_TYPES:
         return None
-    kind = getattr(proc, "lti_kind", _MISSING)
-    if kind is not _MISSING:
-        return kind
-    return "fir" if hasattr(proc, "fir_kernel") else None
+    return lti_kind_of(processors.get(node_type))
 
 
 def fuse_serial_fir(G, processors, min_run=2):

@@ -363,3 +363,128 @@ def test_fused_iir_chain_streams():
     np.testing.assert_allclose(
         np.asarray(y_stream), np.asarray(y_full), atol=2e-5
     )
+
+
+# -- containers join fusion runs ---------------------------------------
+
+
+def test_fuse_serialchain_container_joins_iir_run():
+    """A SerialChain whose members are all exact-backend cascades is
+    itself IIR-LTI and fuses with its neighbors."""
+    from grafx_tpu.processors import (
+        GraphicEqualizer,
+        LowPassFilter,
+        ParametricEqualizer,
+        SerialChain,
+    )
+    from grafx_tpu.render import fuse_serial_lti
+
+    procs = {
+        "chain": SerialChain(
+            {
+                "peq": ParametricEqualizer(num_filters=4, backend="exact"),
+                "lp": LowPassFilter(backend="exact"),
+            }
+        ),
+        "geq": GraphicEqualizer(backend="exact"),
+    }
+    assert procs["chain"].lti_kind == "iir"
+    G = GRAFX(config=NodeConfigs(sorted(procs)))
+    G.add_serial_chain(["in", "chain", "geq", "out"])
+    params = create_empty_parameters(procs, G, key=jax.random.PRNGKey(2))
+    params = jax.tree.map(
+        lambda a: 0.3
+        * jax.random.normal(jax.random.PRNGKey(a.size % 7919), a.shape),
+        params,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 2**13))
+    y_ref, _ = _render(G, procs, params, x)
+
+    G2, procs2 = fuse_serial_lti(G, procs)
+    assert [t for t in procs2 if t.startswith("fused(")] == [
+        "fused(chain+geq)"
+    ]
+    y_f, _ = _render(G2, procs2, _fused_params_from(params, G2, procs2), x)
+    scale = np.abs(y_ref).max() + 1e-9
+    assert np.abs(y_f - y_ref).max() / scale < 1e-4
+
+
+def test_fuse_drywet_and_parallelmix_join_fir_run():
+    """DryWet (internal weight) and ParallelMix of FIR branches are
+    FIR-LTI: ``w h + (1-w) d`` / the weighted shift-aligned IR sum.
+    Compared against the per-node render of the start-padded signal
+    (the zero-phase fused semantics, see module docstring)."""
+    from grafx_tpu.processors import DryWet, ParallelMix
+    from grafx_tpu.render import fuse_serial_lti
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 2**13))
+    P = 4608
+
+    def check(procs, chain):
+        G = GRAFX(config=NodeConfigs(sorted(procs)))
+        G.add_serial_chain(["in"] + chain + ["out"])
+        params = create_empty_parameters(procs, G, key=jax.random.PRNGKey(3))
+        params = jax.tree.map(
+            lambda a: 0.3
+            * jax.random.normal(jax.random.PRNGKey(a.size % 7919), a.shape),
+            params,
+        )
+        xp = jnp.pad(x, ((0, 0), (0, 0), (P, 0)))
+        ref = _render(G, procs, params, xp)[0][..., P:]
+        G2, procs2 = fuse_serial_lti(G, procs)
+        fused = [t for t in procs2 if t.startswith("fused(")]
+        assert fused == ["fused(" + "+".join(chain) + ")"], fused
+        y_f, _ = _render(
+            G2, procs2, _fused_params_from(params, G2, procs2), x
+        )
+        scale = np.abs(ref).max() + 1e-9
+        assert np.abs(y_f - ref).max() / scale < 1e-4
+
+    dw = DryWet(
+        NewZeroPhaseFIREqualizer(num_frequency_bins=128),
+        external_param=False,
+    )
+    assert dw.lti_kind == "fir"
+    check(
+        {"dw": dw, "reverb": STFTMaskedNoiseReverb(ir_len=2000)},
+        ["dw", "reverb"],
+    )
+
+    pm = ParallelMix(
+        {
+            "zp": NewZeroPhaseFIREqualizer(num_frequency_bins=128),
+            "dl": MultitapDelay(
+                segment_len=200, num_segments=2, processor_channel="stereo"
+            ),
+        }
+    )
+    assert pm.lti_kind == "fir"
+    check({"pm": pm, "gain": StereoGain()}, ["pm", "gain"])
+
+
+def test_fuse_containers_stay_opaque_when_mixed():
+    """A SerialChain mixing FIR and IIR members (or wrapping a
+    non-LTI member) reports lti_kind None and does not fuse; DryWet
+    with an external weight is also excluded."""
+    from grafx_tpu.processors import (
+        DryWet,
+        LowPassFilter,
+        SerialChain,
+    )
+
+    mixed = SerialChain(
+        {
+            "zp": NewZeroPhaseFIREqualizer(num_frequency_bins=64),
+            "lp": LowPassFilter(backend="exact"),
+        }
+    )
+    assert mixed.lti_kind is None
+    nonlti = SerialChain(
+        {
+            "comp": Compressor(energy_smoother="ballistics"),
+            "lp": LowPassFilter(backend="exact"),
+        }
+    )
+    assert nonlti.lti_kind is None
+    ext = DryWet(NewZeroPhaseFIREqualizer(num_frequency_bins=64))
+    assert ext.lti_kind is None
