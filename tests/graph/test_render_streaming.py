@@ -157,3 +157,30 @@ def test_stream_fused_lti_chain():
     G2, procs2 = fuse_serial_fir(G, procs)
     assert any(t.startswith("fused(") for t in procs2)
     _stream_vs_full(G2, procs2, 1, 8192, 1024, rtol=5e-4, seed=7)
+
+
+def test_stream_fused_iir_graph():
+    """A graph whose serial exact-cascade run was folded by
+    fuse_serial_lti streams identically to the full-length render (the
+    FusedBiquadChain carries the fused cascade's eigenbasis state)."""
+    from grafx_tpu.processors import GraphicEqualizer, LowPassFilter
+    from grafx_tpu.render import fuse_serial_lti
+
+    procs = {
+        "peq": ParametricEqualizer(num_filters=4, backend="exact"),
+        "geq": GraphicEqualizer(backend="exact"),
+        "lp": LowPassFilter(backend="exact"),
+        "gain": StereoGain(),
+    }
+    G = GRAFX(config=NodeConfigs(sorted(procs)))
+    ends = []
+    for _ in range(2):
+        _, last = G.add_serial_chain(["in", "peq", "geq", "lp", "gain"])
+        ends.append(last)
+    mix = G.add("mix")
+    [G.connect(e, mix) for e in ends]
+    G.connect(mix, G.add("out"))
+
+    G2, procs2 = fuse_serial_lti(G, procs)
+    assert any(t.startswith("fused(") for t in procs2)
+    _stream_vs_full(G2, procs2, 2, 2**13, 1024, seed=11)

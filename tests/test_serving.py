@@ -52,3 +52,41 @@ def test_export_roundtrip_matches_live_render():
     params2 = jax.tree.map(lambda v: v + 0.01, params)
     out2 = served(x, params2)
     assert not np.allclose(np.asarray(out2), np.asarray(out_served))
+
+
+def test_export_fused_graph_roundtrip():
+    """Serving export works on a fused plan (the fused cascade's kernel
+    build serializes into the StableHLO blob like any other program)."""
+    from grafx_tpu.data import GRAFX, NodeConfigs, convert_to_tensor
+    from grafx_tpu.processors import LowPassFilter, PeakingFilter
+    from grafx_tpu.render import (
+        fuse_serial_lti,
+        make_render_fn,
+        prepare_render,
+        reorder_for_fast_render,
+    )
+    from grafx_tpu.utils import create_empty_parameters
+
+    procs = {
+        "pk": PeakingFilter(backend="exact"),
+        "lp": LowPassFilter(backend="exact"),
+    }
+    G = GRAFX(config=NodeConfigs(sorted(procs)))
+    G.add_serial_chain(["in", "pk", "lp", "out"])
+    G2, procs2 = fuse_serial_lti(G, procs)
+    assert any(t.startswith("fused(") for t in procs2)
+
+    G_t = reorder_for_fast_render(convert_to_tensor(G2), method="beam")
+    plan = prepare_render(G_t)
+    params = create_empty_parameters(procs2, G2, key=jax.random.PRNGKey(0))
+    params = jax.tree.map(lambda v: v + 0.1, params)
+    render = make_render_fn(procs2, plan)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 2**12))
+
+    live, _, _ = render(x, params)
+    blob = export_render(render, x, params)
+    served = load_render(blob)
+    out = served(x, params)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(live), rtol=1e-5, atol=1e-6
+    )
