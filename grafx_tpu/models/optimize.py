@@ -29,6 +29,11 @@ class GraphParameterOptimizer:
         aux_weight: weight applied to the summed aux (intermediates)
             losses such as ``gain_reg`` / ``radii_reg``.
         method: scheduling method.
+        fuse: apply the LTI-chain fusion pass
+            (:func:`grafx_tpu.render.fuse_serial_lti`) before
+            scheduling — serial FIR runs fold into one convolution and
+            serial exact-cascade runs into one cascade.  Parameters are
+            created for the fused graph (nested per member).
     """
 
     def __init__(
@@ -40,7 +45,12 @@ class GraphParameterOptimizer:
         aux_weight=1.0,
         method="beam",
         key=None,
+        fuse=False,
     ):
+        if fuse:
+            from grafx_tpu.render import fuse_serial_lti
+
+            G, processors = fuse_serial_lti(G, processors)
         self.G = G
         self.processors = processors
         self.loss_fn = loss_fn

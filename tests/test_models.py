@@ -103,3 +103,20 @@ def test_parameter_predictor_end_to_end():
         weights, opt_state, l = step(weights, opt_state)
         losses.append(float(l))
     assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+
+
+def test_optimizer_fuse_option():
+    """``GraphParameterOptimizer(fuse=True)`` rewrites the graph with
+    the LTI fusion pass, creates fused-nested parameters, and trains."""
+    G, processors = mastering_chain()
+    opt = GraphParameterOptimizer(
+        G, processors, fuse=True, key=jax.random.PRNGKey(0)
+    )
+    fused = [t for t in opt.processors if t.startswith("fused(")]
+    assert fused == ["fused(eq+geq)"]
+    assert "0_eq" in opt.params[fused[0]]
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 2**12))
+    target = 0.5 * x
+    history = opt.fit(x, target, num_steps=6)
+    assert history[-1] < history[0]
