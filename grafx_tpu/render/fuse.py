@@ -207,7 +207,13 @@ class FusedBiquadChain:
     Exactness: the fused cascade computes the same filter as the
     sequential application; both run the exact-class blocked algorithm,
     so outputs agree to the exact path's round-off (gated by
-    tests/graph/test_fuse.py).
+    tests/graph/test_fuse.py).  Precision scales with the cascade's
+    cumulative gain dynamic range, which for real EQ/filter sections
+    (bounded boost by construction) stays benign at any practical K —
+    the K=34 unit-peak on-chip gate and the fused PEQ+GEQ chain (−86 dB,
+    examples/fused_mastering.py) are the evidence; a cascade of many
+    *unnormalized* random sections exceeds float32 end-to-end no matter
+    the algorithm (BASELINE.md round 3, "Large-K precision floor").
     """
 
     def __init__(self, named_processors):
