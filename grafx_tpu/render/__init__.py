@@ -12,6 +12,7 @@ from grafx_tpu.render.core import (
 from grafx_tpu.render.fuse import (
     FusedBiquadChain,
     FusedFIRChain,
+    fuse_parameters,
     fuse_serial_fir,
     fuse_serial_lti,
 )
@@ -39,6 +40,7 @@ __all__ = [
     "create_signal_buffer",
     "expand_tensor_or_tensor_dict",
     "flatten_batch_and_node",
+    "fuse_parameters",
     "fuse_serial_fir",
     "fuse_serial_lti",
     "make_render_fn",

@@ -414,4 +414,110 @@ def fuse_serial_lti(G, processors, min_run=2, kinds=("fir", "iir")):
         inlet = data.get("inlet", "main") if v not in in_run else "main"
         G2.connect(node_map[u], node_map[v], outlet=outlet, inlet=inlet)
 
+    # node provenance for parameter migration (fuse_parameters):
+    # new composite node -> its run's original nodes (member order);
+    # new plain node -> [original node]
+    fused_from = {}
+    for _, run in runs:
+        fused_from[node_map[run[0]]] = list(run)
+    for n, n2 in node_map.items():
+        if n2 not in fused_from:
+            fused_from[n2] = [n]
+    G2.graph["fused_from"] = fused_from
+
     return G2, processors_fused
+
+
+def _scheduled_type_rows(G, method, **order_kwargs):
+    """Within-type parameter row of every node of ``G`` under the
+    scheduled (reorder_for_fast_render) node order.
+
+    Parameter arrays bind to nodes through the ORDERED tensor's
+    per-type indices, so the row of a node is its rank among same-type
+    nodes after the render-order relabeling — schedule-dependent
+    whenever a type spans several stages."""
+    import numpy as np
+
+    from grafx_tpu.render.order.graph import compute_render_order
+    from grafx_tpu.render.order.tensor import node_id_from_render_order
+
+    _, render_order = compute_render_order(G, method=method, **order_kwargs)
+    new_id = np.asarray(node_id_from_render_order(render_order))
+    nodes = sorted(G.nodes)  # convert_to_tensor's node enumeration
+    rows = {}
+    counts = {}
+    for idx in np.argsort(new_id):
+        n = nodes[idx]
+        t = G.nodes[n]["node_type"]
+        rows[n] = counts.get(t, 0)
+        counts[t] = rows[n] + 1
+    return rows
+
+
+def fuse_parameters(
+    params, G, G_fused, processors_fused, method="beam", **order_kwargs
+):
+    """Migrate per-type parameters from ``G`` to its fused rewrite.
+
+    Per-type parameter arrays bind to nodes by their within-type order
+    in the *scheduled* tensor; fusion reshuffles nodes across types (a
+    run's members leave their original types and land, nested, under
+    the composite type).  This helper re-gathers every leaf row
+    accordingly, so parameters trained on the unfused graph (created
+    with ``create_empty_parameters(processors, G)`` and used through
+    ``reorder_for_fast_render(..., method=...)``) drop into the fused
+    graph with identical render output.
+
+    Args:
+        params: type -> parameter dict for ``G`` (leading dim = nodes
+            of the type, in scheduled within-type order).
+        G: the original graph.
+        G_fused: the graph returned by :func:`fuse_serial_lti`.
+        processors_fused: the processor dict returned alongside it.
+        method: the scheduling method used with BOTH graphs'
+            ``reorder_for_fast_render`` (row binding is
+            schedule-dependent when a type spans several stages).
+
+    Returns:
+        type -> parameter dict for ``G_fused``.
+    """
+    import numpy as np
+
+    fused_from = G_fused.graph.get("fused_from")
+    if fused_from is None:
+        if G_fused is G:
+            return params
+        raise ValueError(
+            "G_fused carries no fusion provenance; pass the graph"
+            " returned by fuse_serial_lti."
+        )
+
+    orig_row = _scheduled_type_rows(G, method, **order_kwargs)
+    fused_row = _scheduled_type_rows(G_fused, method, **order_kwargs)
+
+    def gather(tree, rows):
+        import jax
+
+        return jax.tree.map(lambda a: a[np.asarray(rows)], tree)
+
+    out = {}
+    for t2 in processors_fused:
+        nodes2 = sorted(
+            (n for n in G_fused.nodes
+             if G_fused.nodes[n]["node_type"] == t2),
+            key=lambda n: fused_row[n],
+        )
+        if not nodes2:
+            continue
+        proc = processors_fused[t2]
+        if t2.startswith("fused(") and hasattr(proc, "members"):
+            nested = {}
+            for i, (mname, _) in enumerate(proc.members):
+                t_orig = mname.split("_", 1)[1]
+                rows = [orig_row[fused_from[n2][i]] for n2 in nodes2]
+                nested[mname] = gather(params[t_orig], rows)
+            out[t2] = nested
+        elif t2 in params:
+            rows = [orig_row[fused_from[n2][0]] for n2 in nodes2]
+            out[t2] = gather(params[t2], rows)
+    return out

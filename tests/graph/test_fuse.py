@@ -488,3 +488,59 @@ def test_fuse_containers_stay_opaque_when_mixed():
     assert nonlti.lti_kind is None
     ext = DryWet(NewZeroPhaseFIREqualizer(num_frequency_bins=64))
     assert ext.lti_kind is None
+
+
+def test_fuse_random_graph_property():
+    """Property: for random DAGs mixing causal LTI and nonlinear types,
+    the fused graph renders identically (causal members, so no
+    pre-ring caveat).  Exercises run detection around fan-ins,
+    fan-outs, and kind boundaries."""
+    import random as pyrandom
+
+    from grafx_tpu.processors import LowPassFilter, PeakingFilter
+    from grafx_tpu.render import fuse_parameters, fuse_serial_lti
+
+    procs = {
+        "gain": StereoGain(),  # fir (causal, shift 0)
+        "pk": PeakingFilter(backend="exact"),  # iir
+        "lp": LowPassFilter(backend="exact"),  # iir
+        "comp": Compressor(energy_smoother="ballistics"),  # opaque
+    }
+    types = list(procs)
+
+    for seed in range(4):
+        r = pyrandom.Random(seed)
+        G = GRAFX(config=NodeConfigs(sorted(procs)))
+        frontier = [G.add("in") for _ in range(2)]
+        for _ in range(r.randint(6, 12)):
+            t = r.choice(types)
+            n = G.add(t)
+            src = r.choice(frontier)
+            G.connect(src, n)
+            # sometimes fan out: keep the source in the frontier too
+            if r.random() < 0.4:
+                frontier.append(n)
+            else:
+                frontier[frontier.index(src)] = n
+        mix = G.add("mix")
+        for e in frontier:
+            G.connect(e, mix)
+        G.connect(mix, G.add("out"))
+
+        params = create_empty_parameters(
+            procs, G, key=jax.random.PRNGKey(seed)
+        )
+        params = jax.tree.map(
+            lambda a: 0.2
+            * jax.random.normal(jax.random.PRNGKey(a.size % 4099), a.shape),
+            params,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(seed + 50), (2, 2, 2**12))
+        y_ref, _ = _render(G, procs, params, x)
+
+        G2, procs2 = fuse_serial_lti(G, procs)
+        params2 = fuse_parameters(params, G, G2, procs2)
+        y_f, _ = _render(G2, procs2, params2, x)
+        scale = np.abs(y_ref).max() + 1e-9
+        rel = np.abs(y_f - y_ref).max() / scale
+        assert rel < 2e-4, (seed, rel)
