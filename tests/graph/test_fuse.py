@@ -544,3 +544,31 @@ def test_fuse_random_graph_property():
         scale = np.abs(y_ref).max() + 1e-9
         rel = np.abs(y_f - y_ref).max() / scale
         assert rel < 2e-4, (seed, rel)
+
+
+def test_fuse_rng_threading_through_fused_chain():
+    """A fused chain containing a stochastic member (resampled-noise
+    reverb) still receives per-render RNG: same key => identical
+    output, different keys => different noise."""
+    from grafx_tpu.render import fuse_serial_lti, make_render_fn
+
+    procs = {
+        "zpeq": NewZeroPhaseFIREqualizer(num_frequency_bins=64),
+        "reverb": STFTMaskedNoiseReverb(ir_len=1500, fixed_noise=False),
+    }
+    G = GRAFX(config=NodeConfigs(sorted(procs)))
+    G.add_serial_chain(["in", "zpeq", "reverb", "out"])
+    G2, procs2 = fuse_serial_lti(G, procs)
+    assert [t for t in procs2 if t.startswith("fused(")]
+
+    G_t = reorder_for_fast_render(convert_to_tensor(G2), method="beam")
+    render = make_render_fn(procs2, prepare_render(G_t), jit=False)
+    params = create_empty_parameters(procs2, G2, key=jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 2**12))
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    y_a, _, _ = render(x, params, rng=k1)
+    y_a2, _, _ = render(x, params, rng=k1)
+    y_b, _, _ = render(x, params, rng=k2)
+    np.testing.assert_array_equal(np.asarray(y_a), np.asarray(y_a2))
+    assert not np.allclose(np.asarray(y_a), np.asarray(y_b))
