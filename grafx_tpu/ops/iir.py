@@ -451,7 +451,7 @@ def _biquad_block_stage_apply(
     if toeplitz is None and T <= _TOEPLITZ_MAX_T:
         toeplitz = _causal_toeplitz(h)
     if toeplitz is not None:
-        y_zs = jnp.einsum("nbq,ntq->nbt", xb, toeplitz, precision=PREC_APPLY)
+        y_zs = jnp.einsum("nbq,nqt->nbt", xb, toeplitz, precision=PREC_APPLY)
     else:
         y_zs = fft_convolve(xb, h[:, None, :], mode="causal", pad_mode="pow2")
 
@@ -758,18 +758,33 @@ def _cascade_kernels_doubling(b, a, T):
     return H_cas, W[:, :S], V[:, :S], A_blk[:, :S, :S]
 
 
+_TOEPLITZ_BUILD = _os.environ.get("GRAFX_TPU_TOEPLITZ_BUILD", "reshape")
+
+
 def _causal_toeplitz(h):
-    """``(N, T)`` causal IR -> ``(N, T, T)`` lower-triangular Toeplitz
-    operator ``Toep[n, t, q] = h[n, t - q]`` (zero above the diagonal).
+    """``(N, T)`` causal IR -> ``(N, T, T)`` causal Toeplitz operator
+    ``Op[n, q, t] = h[n, t - q]`` (zero below the anti-causal diagonal).
 
     Lets the per-block zero-state response run as ONE batched MXU matmul
-    (``y_zs = xb @ Toep^T``) instead of an FFT convolution: at block
+    (``y_zs[b] = x[b] @ Op``) instead of an FFT convolution: at block
     length T=128 that is ~15x fewer FLOPs than the radix/matmul FFTs XLA
-    emits on TPU, in exactly the MXU's favorite shape."""
+    emits on TPU, in exactly the MXU's favorite shape.
+
+    Default construction is the pad+tile+reshape trick (row ``q`` of the
+    ``2T``-periodic tiling of ``[h, 0]`` at stride ``2T - 1`` is
+    ``[h, 0]`` rolled by ``q``): contiguous copies only, so both the
+    build and its ADJOINT lower to reshapes/pads — the previous
+    gather-based build transposed to a scatter in the backward pass,
+    which serializes on TPU.  ``GRAFX_TPU_TOEPLITZ_BUILD=gather`` keeps
+    the old construction for on-chip A/B."""
     N, T = h.shape
-    idx = jnp.arange(T)[:, None] - jnp.arange(T)[None, :]
-    gathered = h[:, jnp.clip(idx, 0, T - 1)]
-    return jnp.where(idx >= 0, gathered, jnp.zeros_like(gathered))
+    if _TOEPLITZ_BUILD == "gather":
+        idx = jnp.arange(T)[None, :] - jnp.arange(T)[:, None]  # t - q
+        gathered = h[:, jnp.clip(idx, 0, T - 1)]
+        return jnp.where(idx >= 0, gathered, jnp.zeros_like(gathered))
+    z = jnp.concatenate([h, jnp.zeros_like(h)], axis=-1)  # (N, 2T)
+    zt = jnp.tile(z, (1, T))[:, : T * (2 * T - 1)].reshape(N, T, 2 * T - 1)
+    return zt[:, :, :T]
 
 
 # Toeplitz ZSR memory is N*T^2 floats; beyond this block length fall
@@ -885,7 +900,7 @@ def _biquad_block_cascade_apply(
     if toeplitz is None and T <= _TOEPLITZ_MAX_T:
         toeplitz = _causal_toeplitz(H_cas)
     if toeplitz is not None:
-        y_zs = jnp.einsum("nbq,ntq->nbt", xb, toeplitz, precision=PREC_APPLY)
+        y_zs = jnp.einsum("nbq,nqt->nbt", xb, toeplitz, precision=PREC_APPLY)
     else:
         y_zs = fft_convolve(xb, H_cas[:, None, :], mode="causal", pad_mode="pow2")
 

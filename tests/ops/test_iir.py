@@ -403,3 +403,30 @@ def test_propagate_states_custom_vjp_matches_autodiff():
         np.testing.assert_allclose(
             np.asarray(gc), np.asarray(gr), rtol=2e-4, atol=1e-5, err_msg=name
         )
+
+
+def test_causal_toeplitz_reshape_matches_gather():
+    """The pad+tile+reshape Toeplitz build (contiguous ops; adjoint has
+    no scatter) must be bitwise identical to the gather construction it
+    replaced, and equal to the explicit definition Op[q, t] = h[t - q]."""
+    from grafx_tpu.ops import iir as iir_mod
+
+    rng = np.random.RandomState(3)
+    h = jnp.asarray(rng.randn(5, 128).astype(np.float32))
+    built = iir_mod._causal_toeplitz(h)
+
+    prev = iir_mod._TOEPLITZ_BUILD
+    try:
+        iir_mod._TOEPLITZ_BUILD = "gather"
+        gathered = iir_mod._causal_toeplitz(h)
+    finally:
+        iir_mod._TOEPLITZ_BUILD = prev
+    assert bool(jnp.all(built == gathered))
+
+    hn = np.asarray(h)
+    explicit = np.zeros((5, 128, 128), np.float32)
+    for q in range(128):
+        for t in range(128):
+            if t >= q:
+                explicit[:, q, t] = hn[:, t - q]
+    np.testing.assert_array_equal(np.asarray(built), explicit)
