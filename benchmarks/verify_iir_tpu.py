@@ -88,6 +88,34 @@ def main():
         print(f"{name}: error {e:7.1f} dB  (target <= -60)")
         sys.stdout.flush()
 
+    # Build-formulation equivalence ON THIS DEVICE: the default
+    # pad+tile+reshape Toeplitz and doubling-by-concatenation power
+    # builds vs the gather / associative-scan forms they replaced
+    # (GRAFX_TPU_TOEPLITZ_BUILD / GRAFX_TPU_POWERS).  CPU asserts
+    # bitwise (Toeplitz) / error-class (powers) equality; this repeats
+    # the check where MXU/VPU lowering differs.
+    from grafx_tpu.ops import iir as iir_mod
+
+    Bs, As = random_stable_biquads(rng, 4, 24, r_hi=0.99, normalized=False)
+    x = rng.randn(4, 2**15)
+    xj = jnp.asarray(x, jnp.float32)
+    Bj, Aj = jnp.asarray(Bs, jnp.float32), jnp.asarray(As, jnp.float32)
+    y_new = np.asarray(jax.block_until_ready(biquad_exact(xj, Bj, Aj)))
+    saved = (iir_mod._TOEPLITZ_BUILD, iir_mod._POWERS_BUILD)
+    iir_mod._TOEPLITZ_BUILD, iir_mod._POWERS_BUILD = "gather", "scan"
+    jax.clear_caches()
+    try:
+        y_old = np.asarray(jax.block_until_ready(biquad_exact(xj, Bj, Aj)))
+    finally:
+        iir_mod._TOEPLITZ_BUILD, iir_mod._POWERS_BUILD = saved
+        jax.clear_caches()
+    e = db((y_new - y_old).astype(np.float64), y_old.astype(np.float64))
+    # The Toeplitz builds are bitwise-equal (tests/ops/test_iir.py); the
+    # powers differ in product-split rounding only, so the two float32
+    # assemblies agree to ~1e-7 relative (CPU reference: -105 dB).
+    print(f"build-formulation (reshape/doubling vs gather/scan): {e:7.1f} dB"
+          "  (target <= -100)")
+
 
 if __name__ == "__main__":
     main()

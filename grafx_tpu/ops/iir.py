@@ -235,6 +235,42 @@ def _compensated_disc(a1, a2):
     return (p - 4.0 * a2) + err
 
 
+_POWERS_BUILD = _os.environ.get("GRAFX_TPU_POWERS", "doubling")
+
+
+def _cum_powers(re0, im0, T):
+    """Complex cumulative powers ``l^n`` for ``n = 1..T`` of per-row
+    eigenvalues ``l = re0 + i im0`` -> ``(re, im)`` arrays ``(M, T)``.
+
+    Default is doubling-by-concatenation: the length-``2^k`` prefix
+    times its own last element appends the next ``2^k`` powers, so the
+    whole sequence is ``ceil(log2 T)`` broadcast complex multiplies +
+    concats.  Every ``l^n`` is one product ``l^a * l^b`` (binary split)
+    deep per level — the same product-tree depth (and therefore the same
+    float32 error class) as the ``associative_scan`` formulation it
+    replaces, which lowers to odd/even interleave slicing at every
+    level.  ``GRAFX_TPU_POWERS=scan`` keeps the scan for on-chip A/B.
+    """
+    if _POWERS_BUILD == "scan":
+        re = jnp.broadcast_to(re0[:, None], re0.shape + (T,))
+        im = jnp.broadcast_to(im0[:, None], im0.shape + (T,))
+
+        def combine(x, y):
+            xr, xi = x
+            yr, yi = y
+            return (xr * yr - xi * yi, xr * yi + xi * yr)
+
+        return jax.lax.associative_scan(combine, (re, im), axis=1)
+    pr, pi = re0[:, None], im0[:, None]
+    while pr.shape[1] < T:
+        sr, si = pr[:, -1:], pi[:, -1:]  # l^len: last element so far
+        nr = pr * sr - pi * si
+        ni = pr * si + pi * sr
+        pr = jnp.concatenate([pr, nr], axis=1)
+        pi = jnp.concatenate([pi, ni], axis=1)
+    return pr[:, :T], pi[:, :T]
+
+
 def _stage_eigen_kernels(bk, ak, T):
     """Blocked state-space kernels for one biquad, expressed in the pole
     pair's eigenbasis.
@@ -303,21 +339,13 @@ def _stage_eigen_kernels(bk, ak, T):
     jtol = 1e-14 if dtype == jnp.float64 else 1e-6
     is_jordan = (~is_complex) & (delta <= jtol * jnp.abs(mu))
 
-    # cumulative powers n = 1..T in one batched norm-preserving scan;
+    # cumulative powers n = 1..T;
     # rows = [l_c = mu + i dim | l1 = mu + delta | l2 = mu - delta]
     l1 = mu + delta
     l2 = mu - delta
     re0 = jnp.concatenate([mu, l1, l2])
     im0 = jnp.concatenate([dim, jnp.zeros_like(l1), jnp.zeros_like(l2)])
-    re = jnp.broadcast_to(re0[:, None], (3 * N, T))
-    im = jnp.broadcast_to(im0[:, None], (3 * N, T))
-
-    def combine(x, y):
-        xr, xi = x
-        yr, yi = y
-        return (xr * yr - xi * yi, xr * yi + xi * yr)
-
-    Pr, Pi = jax.lax.associative_scan(combine, (re, im), axis=1)
+    Pr, Pi = _cum_powers(re0, im0, T)
     one = jnp.ones((N, 1), dtype)
     zero = jnp.zeros((N, 1), dtype)
     xs = jnp.concatenate([one, Pr[:N]], axis=1)  # Re l_c^n, n = 0..T

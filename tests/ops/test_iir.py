@@ -430,3 +430,35 @@ def test_causal_toeplitz_reshape_matches_gather():
             if t >= q:
                 explicit[:, q, t] = hn[:, t - q]
     np.testing.assert_array_equal(np.asarray(built), explicit)
+
+
+def test_cum_powers_doubling_matches_scan_and_f64():
+    """Doubling-by-concatenation powers must match the associative-scan
+    formulation's error class against exact float64 powers."""
+    from grafx_tpu.ops import iir as iir_mod
+
+    rng = np.random.RandomState(1)
+    M = 32
+    r = rng.uniform(0.1, 0.9999, M)
+    th = rng.uniform(0, np.pi, M)
+    re0 = jnp.asarray((r * np.cos(th)).astype(np.float32))
+    im0 = jnp.asarray((r * np.sin(th)).astype(np.float32))
+    for T in (1, 3, 128, 200):
+        dr, di = iir_mod._cum_powers(re0, im0, T)
+        prev = iir_mod._POWERS_BUILD
+        try:
+            iir_mod._POWERS_BUILD = "scan"
+            sr, si = iir_mod._cum_powers(re0, im0, T)
+        finally:
+            iir_mod._POWERS_BUILD = prev
+        n = np.arange(1, T + 1)
+        exact = (
+            (np.asarray(re0, np.float64) + 1j * np.asarray(im0, np.float64))[
+                :, None
+            ]
+            ** n[None, :]
+        )
+        err_d = np.abs(np.asarray(dr) + 1j * np.asarray(di) - exact).max()
+        err_s = np.abs(np.asarray(sr) + 1j * np.asarray(si) - exact).max()
+        assert dr.shape == (M, T)
+        assert err_d < max(2.0 * err_s, 1e-6)
