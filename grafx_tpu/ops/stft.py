@@ -114,6 +114,27 @@ def istft(spec, n_fft: int, hop_length: int, window, length: int):
                 w_second,
             ]
         )[:total]
+    elif n_fft % hop_length == 0:
+        # general integer overlap ratio r = n_fft / hop: each hop
+        # segment receives exactly r frame chunks, so OLA is r pad+adds
+        # on the (segments, hop) grid — still scatter-free (75%/87.5%
+        # overlap land here)
+        r = n_fft // hop_length
+        H = hop_length
+        num_segs = num_frames + r - 1
+        chunks = frames.reshape(batch_shape + (num_frames, r, H))
+        segs = jnp.zeros(batch_shape + (num_segs, H), dtype=frames.dtype)
+        w2 = (window * window).reshape(r, H)
+        wsq_segs = jnp.zeros((num_segs, H), dtype=frames.dtype)
+        pad_lead = [(0, 0)] * len(batch_shape)
+        for j in range(r):
+            segs = segs + jnp.pad(
+                chunks[..., j, :],
+                pad_lead + [(j, r - 1 - j), (0, 0)],
+            )
+            wsq_segs = wsq_segs.at[j : j + num_frames].add(w2[j])
+        y = segs.reshape(batch_shape + (num_segs * H,))
+        wsq = wsq_segs.reshape(num_segs * H)[:total]
     else:
         starts = jnp.arange(num_frames) * hop_length
         idx = (starts[:, None] + jnp.arange(n_fft)[None, :]).reshape(-1)
