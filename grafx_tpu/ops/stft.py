@@ -61,10 +61,21 @@ def stft(x, n_fft: int, hop_length: int, window):
     pad = [(0, 0)] * (x.ndim - 1) + [(n_fft // 2, n_fft // 2)]
     xp = jnp.pad(x, pad, mode="reflect")
     num_frames = 1 + L // hop_length
-    if 2 * hop_length == n_fft and xp.shape[-1] == (num_frames + 1) * hop_length:
-        # 50% overlap: frames are adjacent hop-segment pairs (gather-free)
-        segs = xp.reshape(xp.shape[:-1] + (num_frames + 1, hop_length))
-        frames = jnp.concatenate([segs[..., :-1, :], segs[..., 1:, :]], -1)
+    if n_fft % hop_length == 0:
+        # integer overlap ratio r = n_fft / hop: frame m is the r
+        # adjacent hop segments m..m+r-1, so framing is r static slices
+        # + a concat (gather-free; TPU gathers are slow)
+        r = n_fft // hop_length
+        H = hop_length
+        num_segs = num_frames + r - 1
+        need = num_segs * H
+        extra = need - xp.shape[-1]
+        if extra > 0:
+            xp = jnp.pad(xp, [(0, 0)] * (xp.ndim - 1) + [(0, extra)])
+        segs = xp[..., :need].reshape(xp.shape[:-1] + (num_segs, H))
+        frames = jnp.concatenate(
+            [segs[..., j : j + num_frames, :] for j in range(r)], axis=-1
+        )
     else:
         starts = jnp.arange(num_frames) * hop_length
         idx = starts[:, None] + jnp.arange(n_fft)[None, :]

@@ -1,6 +1,7 @@
 import jax.numpy as jnp
 import numpy as np
 import torch
+import pytest
 
 from grafx_tpu.ops import hann_window, istft, stft
 
@@ -93,3 +94,22 @@ def test_istft_matches_torch_noninteger_ratio():
     ).numpy()
     y = istft(jnp.array(spec_t.numpy()), n_fft, hop, jnp.array(w), length)
     np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("n_fft,hop,length", [
+    (512, 128, 6000),   # r = 4 (75% overlap), hop divides length check off
+    (384, 128, 5000),   # r = 3, length not a hop multiple
+    (256, 256, 4096),   # r = 1 (no overlap)
+])
+def test_stft_matches_torch_integer_ratios(n_fft, hop, length):
+    """Gather-free framing must match torch.stft for any integer ratio."""
+    rng = np.random.RandomState(5)
+    x = rng.randn(2, length).astype(np.float32)
+    w = hann_window(n_fft).astype(np.float32)
+    spec = stft(jnp.array(x), n_fft, hop, jnp.array(w))
+    ref = torch.stft(
+        torch.tensor(x), n_fft=n_fft, hop_length=hop,
+        window=torch.tensor(w), return_complex=True,
+    ).numpy()
+    assert spec.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(spec), ref, rtol=1e-3, atol=1e-4)
