@@ -101,19 +101,29 @@ def main():
     xj = jnp.asarray(x, jnp.float32)
     Bj, Aj = jnp.asarray(Bs, jnp.float32), jnp.asarray(As, jnp.float32)
     y_new = np.asarray(jax.block_until_ready(biquad_exact(xj, Bj, Aj)))
-    saved = (iir_mod._TOEPLITZ_BUILD, iir_mod._POWERS_BUILD)
-    iir_mod._TOEPLITZ_BUILD, iir_mod._POWERS_BUILD = "gather", "scan"
+    saved = (
+        iir_mod._TOEPLITZ_BUILD,
+        iir_mod._POWERS_BUILD,
+        iir_mod._CASCADE_COMPOSE,
+    )
+    iir_mod._TOEPLITZ_BUILD = "gather"
+    iir_mod._POWERS_BUILD = "scan"
+    iir_mod._CASCADE_COMPOSE = "fft"
     jax.clear_caches()
     try:
         y_old = np.asarray(jax.block_until_ready(biquad_exact(xj, Bj, Aj)))
     finally:
-        iir_mod._TOEPLITZ_BUILD, iir_mod._POWERS_BUILD = saved
+        (
+            iir_mod._TOEPLITZ_BUILD,
+            iir_mod._POWERS_BUILD,
+            iir_mod._CASCADE_COMPOSE,
+        ) = saved
         jax.clear_caches()
     e = db((y_new - y_old).astype(np.float64), y_old.astype(np.float64))
     # The Toeplitz builds are bitwise-equal (tests/ops/test_iir.py); the
     # powers differ in product-split rounding only, so the two float32
     # assemblies agree to ~1e-7 relative (CPU reference: -105 dB).
-    print(f"build-formulation (reshape/doubling vs gather/scan): {e:7.1f} dB"
+    print(f"build-formulation (reshape/doubling/toeplitz vs gather/scan/fft): {e:7.1f} dB"
           "  (target <= -100)")
 
 

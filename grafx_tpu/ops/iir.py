@@ -749,20 +749,38 @@ def _cascade_kernels_doubling(b, a, T):
     def tconv_freq(Xf, Yf):
         return jnp.fft.irfft(Xf * Yf, n=n2)[..., :T]
 
+    use_toeplitz = _CASCADE_COMPOSE == "toeplitz" and T <= _TOEPLITZ_MAX_T
+
     while G > 1:
         H1, H2 = H[:, 0::2], H[:, 1::2]  # (N, G/2, T)
         V1, V2 = V[:, 0::2], V[:, 1::2]  # (N, G/2, R, T)
         W1, W2 = W[:, 0::2], W[:, 1::2]
         A1, A2 = A[:, 0::2], A[:, 1::2]  # (N, G/2, R, R)
 
-        H1f = jnp.fft.rfft(H1, n=n2)
-        H2f = jnp.fft.rfft(H2, n=n2)
-        V1f = jnp.fft.rfft(V1, n=n2)
-        W2rf = jnp.fft.rfft(W2[..., ::-1], n=n2)
+        if use_toeplitz:
+            # Truncated causal convs of length-T kernels as MXU matmuls
+            # against the downstream/upstream causal-Toeplitz operators
+            # (round-2 on-chip measurement: at T=128 the Toeplitz matmul
+            # is ~15x fewer FLOPs than XLA's matmul-based radix FFTs —
+            # the same trade the per-block ZSR makes).  One operator per
+            # pair serves all R rows.  GRAFX_TPU_CASCADE_COMPOSE=fft
+            # keeps the FFT composition for A/B.
+            T2 = _causal_toeplitz_nd(H2)  # (N, G/2, T, T): H2[t - q]
+            T1 = _causal_toeplitz_nd(H1)
+            H = jnp.einsum("ngq,ngqt->ngt", H1, T2, precision=PREC)
+            V1H2 = jnp.einsum("ngrq,ngqt->ngrt", V1, T2, precision=PREC)
+            W2c = jnp.einsum(
+                "ngrq,ngqt->ngrt", W2[..., ::-1], T1, precision=PREC
+            )[..., ::-1]
+        else:
+            H1f = jnp.fft.rfft(H1, n=n2)
+            H2f = jnp.fft.rfft(H2, n=n2)
+            V1f = jnp.fft.rfft(V1, n=n2)
+            W2rf = jnp.fft.rfft(W2[..., ::-1], n=n2)
 
-        H = tconv_freq(H1f, H2f)
-        V1H2 = tconv_freq(V1f, H2f[..., None, :])
-        W2c = tconv_freq(H1f[..., None, :], W2rf)[..., ::-1]
+            H = tconv_freq(H1f, H2f)
+            V1H2 = tconv_freq(V1f, H2f[..., None, :])
+            W2c = tconv_freq(H1f[..., None, :], W2rf)[..., ::-1]
         B = jnp.einsum("ngst,ngrt->ngsr", W2, V1, precision=PREC)  # (N, G/2, R2, R1)
 
         R = V.shape[2]
@@ -787,6 +805,16 @@ def _cascade_kernels_doubling(b, a, T):
 
 
 _TOEPLITZ_BUILD = _os.environ.get("GRAFX_TPU_TOEPLITZ_BUILD", "reshape")
+_CASCADE_COMPOSE = _os.environ.get("GRAFX_TPU_CASCADE_COMPOSE", "toeplitz")
+
+
+def _causal_toeplitz_nd(h):
+    """:func:`_causal_toeplitz` for any leading batch dims:
+    ``(..., T) -> (..., T, T)`` with ``Op[..., q, t] = h[..., t - q]``."""
+    lead = h.shape[:-1]
+    T = h.shape[-1]
+    out = _causal_toeplitz(h.reshape((-1, T)))
+    return out.reshape(lead + (T, T))
 
 
 def _causal_toeplitz(h):

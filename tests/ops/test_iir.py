@@ -462,3 +462,26 @@ def test_cum_powers_doubling_matches_scan_and_f64():
         err_s = np.abs(np.asarray(sr) + 1j * np.asarray(si) - exact).max()
         assert dr.shape == (M, T)
         assert err_d < max(2.0 * err_s, 1e-6)
+
+
+def test_cascade_toeplitz_compose_matches_fft_compose():
+    """The Toeplitz-matmul cascade composition must agree with the FFT
+    composition it replaces (both exact-class; CPU reference ~-117 dB
+    vs the scan oracle for both)."""
+    from grafx_tpu.ops import iir as iir_mod
+
+    rng = np.random.RandomState(7)
+    Bs, As = random_stable_biquads(rng, 3, 12)
+    x = rng.randn(3, 8192).astype(np.float32)
+    y_t = biquad_exact(jnp.array(x), jnp.array(Bs), jnp.array(As))
+    prev = iir_mod._CASCADE_COMPOSE
+    try:
+        iir_mod._CASCADE_COMPOSE = "fft"
+        y_f = biquad_exact(jnp.array(x), jnp.array(Bs), jnp.array(As))
+    finally:
+        iir_mod._CASCADE_COMPOSE = prev
+    ref = scipy_cascade(x, Bs, As)
+    scale = np.abs(ref).max()
+    assert np.abs(np.asarray(y_t) - ref).max() / scale < 1e-4
+    assert np.abs(np.asarray(y_f) - ref).max() / scale < 1e-4
+    assert np.abs(np.asarray(y_t) - np.asarray(y_f)).max() / scale < 1e-5
