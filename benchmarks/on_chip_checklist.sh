@@ -1,0 +1,22 @@
+#!/bin/bash
+# Sequential on-chip checklist (one TPU process at a time).
+# Results land in /root/repo/outputs/postoutage/.
+cd /root/repo
+OUT=outputs/postoutage
+run() {  # run NAME -- CMD...
+  name=$1; shift; shift
+  echo "=== $name : $* ==="
+  timeout 1200 "$@" > "$OUT/$name.log" 2>&1
+  echo "exit=$? ($name)"
+}
+run verify_iir       -- python benchmarks/verify_iir_tpu.py
+run verify_ballistics -- python benchmarks/verify_ballistics_tpu.py
+run verify_conv      -- python benchmarks/verify_conv_tpu.py
+run bench_default    -- python bench.py
+run bench_toep_gather -- env GRAFX_TPU_TOEPLITZ_BUILD=gather python bench.py
+run bench_powers_scan -- env GRAFX_TPU_POWERS=scan python bench.py
+run bench_cascade_fft -- env GRAFX_TPU_CASCADE_COMPOSE=fft python bench.py
+run bench_T64  -- env GRAFX_TPU_EXACT_BLOCK_SIZE=64 python bench.py
+run bench_T256 -- env GRAFX_TPU_EXACT_BLOCK_SIZE=256 python bench.py
+run bench_default2   -- python bench.py
+echo CHECKLIST_DONE

@@ -62,6 +62,16 @@ class IIRFilter:
             raise ValueError(f"Unsupported backend: {backend}")
         self.backend = backend
         self.fsm_fir_len = fsm_fir_len
+        # GRAFX_TPU_EXACT_BLOCK_SIZE overrides the *default* block
+        # length (on-chip sweep knob: T trades kernel-build and
+        # Toeplitz-ZSR cost ~K*T^2 against propagation rounds ~log(L/T));
+        # an explicit constructor argument always wins.
+        if exact_block_size == 128:
+            import os
+
+            exact_block_size = int(
+                os.environ.get("GRAFX_TPU_EXACT_BLOCK_SIZE", exact_block_size)
+            )
         self.exact_block_size = exact_block_size
 
     def precompute(self, Bs, As):
