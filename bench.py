@@ -187,4 +187,19 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        # A transient "FAILED_PRECONDITION: TPU backend error" can appear
+        # right after another TPU process exits (CLAUDE.md environment
+        # notes); the driver runs this unattended, so retry once.
+        msg = str(e)
+        if "FAILED_PRECONDITION" in msg or "TPU backend" in msg:
+            import sys
+
+            print(f"transient TPU error, retrying once: {msg[:200]}",
+                  file=sys.stderr)
+            time.sleep(10)
+            main()
+        else:
+            raise
