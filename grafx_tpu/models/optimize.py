@@ -30,6 +30,15 @@ class GraphParameterOptimizer:
         loss_fn: ``f(output, target) -> scalar`` (default:
             multi-resolution STFT loss).
         optimizer: an optax optimizer (default: ``adam(1e-2)``).
+        trainable: optional parameter-freezing spec — the torch
+            workflow of setting ``requires_grad=False`` per module
+            (reference docs train subsets this way) maps to
+            ``optax.masked`` here.  Either a type-level dict
+            ``{"eq": True, "reverb": False, ...}`` (missing types
+            default to trainable) or a full boolean pytree matching the
+            parameter structure.  Frozen leaves keep their initial
+            values exactly; gradients for them are still computed but
+            discarded by the optimizer mask.
         aux_weight: weight applied to the summed aux (intermediates)
             losses such as ``gain_reg`` / ``radii_reg``.
         method: scheduling method.
@@ -46,6 +55,7 @@ class GraphParameterOptimizer:
         processors,
         loss_fn=multi_resolution_stft_loss,
         optimizer=None,
+        trainable=None,
         aux_weight=1.0,
         method="beam",
         key=None,
@@ -75,6 +85,19 @@ class GraphParameterOptimizer:
         self.params = create_empty_parameters(
             processors, G, key=key if key is not None else jax.random.PRNGKey(0)
         )
+        if trainable is not None:
+            mask = self._trainable_mask(trainable, self.params)
+            # NOT optax.masked: it passes masked-out updates through
+            # UNtransformed (i.e. raw gradients reach apply_updates),
+            # which moves "frozen" parameters.  multi_transform routes
+            # frozen leaves to set_to_zero so they stay bitwise intact.
+            labels = jax.tree.map(
+                lambda m: "train" if m else "freeze", mask
+            )
+            self.optimizer = optax.multi_transform(
+                {"train": self.optimizer, "freeze": optax.set_to_zero()},
+                labels,
+            )
         self.opt_state = self.optimizer.init(self.params)
 
         @jax.jit
@@ -97,6 +120,29 @@ class GraphParameterOptimizer:
             return params, opt_state, total, audio_loss
 
         self._update = update
+
+    @staticmethod
+    def _trainable_mask(trainable, params):
+        """Expand a ``trainable`` spec to a boolean pytree over ``params``.
+
+        Type-level dict: each processor type's whole subtree gets one
+        flag (missing types default to True).  Anything else is assumed
+        to be a full boolean pytree with the parameter structure.
+        """
+        if isinstance(trainable, dict) and all(
+            isinstance(v, bool) for v in trainable.values()
+        ):
+            unknown = set(trainable) - set(params)
+            if unknown:
+                raise ValueError(
+                    f"trainable names unknown processor types {sorted(unknown)};"
+                    f" graph has {sorted(params)}"
+                )
+            return {
+                t: jax.tree.map(lambda _: bool(trainable.get(t, True)), sub)
+                for t, sub in params.items()
+            }
+        return trainable
 
     def step(self, input_signals, target):
         """One jitted optimization step; returns (total_loss, audio_loss)."""

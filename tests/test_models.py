@@ -120,3 +120,35 @@ def test_optimizer_fuse_option():
     target = 0.5 * x
     history = opt.fit(x, target, num_steps=6)
     assert history[-1] < history[0]
+
+
+def test_optimizer_trainable_mask():
+    """Type-level freezing: frozen subtrees keep their initial values
+    bitwise while trainable ones move (the torch requires_grad=False
+    workflow via optax.masked)."""
+    G, processors = simple_chain(chain=("eq", "gain"))
+    opt = GraphParameterOptimizer(
+        G,
+        processors,
+        loss_fn=mse_loss,
+        trainable={"eq": False},
+        key=jax.random.PRNGKey(0),
+    )
+    eq0 = jax.tree.map(np.asarray, opt.params["eq"])
+    gain0 = jax.tree.map(np.asarray, opt.params["gain"])
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 2**10))
+    opt.fit(x, 0.5 * x, num_steps=5)
+    for k, v in opt.params["eq"].items():
+        np.testing.assert_array_equal(np.asarray(v), eq0[k], err_msg=k)
+    moved = any(
+        np.abs(np.asarray(v) - gain0[k]).max() > 0
+        for k, v in opt.params["gain"].items()
+    )
+    assert moved
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown processor types"):
+        GraphParameterOptimizer(
+            G, processors, trainable={"nonexistent": False}
+        )
