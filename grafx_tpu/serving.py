@@ -77,6 +77,76 @@ def export_render(render_fn, example_signals, example_params,
     return bytes(exp.serialize())
 
 
+def export_stream_step(renderer, example_block, platforms=None):
+    """Serialize a :class:`~grafx_tpu.render.streaming.StreamRenderer`'s
+    block step as a portable artifact for real-time serving.
+
+    The exported function is ``step(x_block, state) -> (y_block,
+    new_state)`` with the renderer's parameter-dependent kernel caches
+    baked in as constants (the serving scenario: parameters are frozen
+    at export).  The initial stream state ships inside the artifact, so
+    the serving process needs nothing but audio blocks::
+
+        step, state = load_stream_step(blob)
+        while streaming:
+            y, state = step(x, state)
+
+    Args:
+        renderer: a built ``StreamRenderer``.
+        example_block: ``(C, block_len)`` (or batched) array fixing the
+            block shape/dtype.
+        platforms: optional lowering-platform list.
+
+    Returns:
+        ``bytes`` (pickle of the serialized `jax.export` function plus
+        the initial-state pytree as numpy arrays).
+    """
+    import pickle
+
+    import numpy as np
+
+    # jax.export serialization requires string dict keys; the stream
+    # state's top level is keyed by integer stage index — stringify at
+    # the artifact boundary (the loaded step keeps string keys).
+    state0 = {str(k): v for k, v in renderer.init_state().items()}
+
+    def step(x_block, state):
+        y, new_state = renderer._step_impl(
+            x_block,
+            {int(k): v for k, v in state.items()},
+            renderer._cache_arrays,
+        )
+        return y, {str(k): v for k, v in new_state.items()}
+
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    shapes = jax.tree.map(
+        lambda v: jax.ShapeDtypeStruct(jnp.shape(v), jnp.asarray(v).dtype),
+        (example_block, state0),
+    )
+    exp = jax_export.export(jax.jit(step), **kwargs)(*shapes)
+    payload = {
+        "fn": bytes(exp.serialize()),
+        "state": jax.tree.map(lambda v: np.asarray(v), state0),
+    }
+    return pickle.dumps(payload)
+
+
+def load_stream_step(blob):
+    """Restore an exported streaming step; returns ``(step, state0)``
+    with ``step(x_block, state) -> (y_block, new_state)``."""
+    import pickle
+
+    payload = pickle.loads(blob)
+    exp = jax_export.deserialize(payload["fn"])
+
+    def step(x_block, state):
+        return exp.call(x_block, state)
+
+    return step, payload["state"]
+
+
 def load_render(blob):
     """Restore an exported render; returns ``f(signals, params) -> out``.
 
@@ -91,4 +161,9 @@ def load_render(blob):
     return serve
 
 
-__all__ = ["export_render", "load_render"]
+__all__ = [
+    "export_render",
+    "load_render",
+    "export_stream_step",
+    "load_stream_step",
+]

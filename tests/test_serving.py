@@ -90,3 +90,37 @@ def test_export_fused_graph_roundtrip():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(live), rtol=1e-5, atol=1e-6
     )
+
+
+def test_export_stream_step_roundtrip():
+    """The exported streaming step must reproduce the live
+    StreamRenderer block-for-block from the shipped initial state."""
+    from grafx_tpu.render.streaming import StreamRenderer
+    from grafx_tpu.serving import export_stream_step, load_stream_step
+
+    config = NodeConfigs(["eq", "gain"])
+    G = GRAFX(config=config)
+    e = G.add_serial_chain(["in", "eq", "gain"])[1]
+    o = G.add("out")
+    G.connect(e, o)
+    procs = {
+        "eq": ParametricEqualizer(backend="exact"),
+        "gain": StereoGain(),
+    }
+    G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
+    plan = prepare_render(G_t)
+    params = create_empty_parameters(
+        procs, G, key=jax.random.PRNGKey(3)
+    )
+    block = 1024
+    live = StreamRenderer(procs, plan, params, block_len=block, num_channels=2)
+    x_blocks = jax.random.normal(jax.random.PRNGKey(4), (4, 1, 2, block))
+
+    blob = export_stream_step(live, x_blocks[0])
+    step, state = load_stream_step(blob)
+
+    live_state = live.init_state()
+    for xb in x_blocks:
+        y_live, live_state = live(xb, live_state)
+        y_exp, state = step(xb, state)
+        np.testing.assert_array_equal(np.asarray(y_exp), np.asarray(y_live))
