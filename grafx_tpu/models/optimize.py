@@ -167,6 +167,35 @@ class GraphParameterOptimizer:
                 print(f"step {i}: audio_loss={float(audio):.6f}")
         return history
 
+    def save(self, directory, metadata=None):
+        """Checkpoint the full optimization state (graph, parameters,
+        optimizer moments) for exact resume via :meth:`restore`."""
+        import os
+
+        from grafx_tpu import checkpoint as ckpt
+
+        ckpt.save_session(directory, self.G, self.params, metadata)
+        ckpt.save_parameters(
+            os.path.join(directory, "opt_state"), self.opt_state
+        )
+
+    def restore(self, directory):
+        """Load a checkpoint from :meth:`save` into this optimizer
+        (which must be constructed with the same graph/processors/
+        optimizer configuration).  Resumed ``fit`` continues the
+        original trajectory exactly (parameters AND optimizer moments
+        are restored).  Returns the saved metadata (or ``None``)."""
+        import os
+
+        from grafx_tpu import checkpoint as ckpt
+
+        _, params, metadata = ckpt.load_session(directory, like=self.params)
+        self.params = params
+        self.opt_state = ckpt.load_parameters(
+            os.path.join(directory, "opt_state"), like=self.opt_state
+        )
+        return metadata
+
     def render_current(self, input_signals):
         """Render with the current parameters."""
         out, intermediates, _ = jax.jit(self.render)(input_signals, self.params)

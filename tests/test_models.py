@@ -152,3 +152,29 @@ def test_optimizer_trainable_mask():
         GraphParameterOptimizer(
             G, processors, trainable={"nonexistent": False}
         )
+
+
+def test_optimizer_save_restore_exact_resume(tmp_path):
+    """Resumed fit (params + optimizer moments restored) must continue
+    the uninterrupted trajectory exactly."""
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 2**10))
+    target = 0.5 * x
+
+    def fresh():
+        G, processors = simple_chain(chain=("gain",))
+        return GraphParameterOptimizer(
+            G, processors, loss_fn=mse_loss, key=jax.random.PRNGKey(0)
+        )
+
+    ref = fresh()
+    full = ref.fit(x, target, num_steps=10)
+
+    a = fresh()
+    a.fit(x, target, num_steps=4)
+    a.save(str(tmp_path / "ckpt"), metadata={"step": 4})
+
+    b = fresh()
+    meta = b.restore(str(tmp_path / "ckpt"))
+    assert meta == {"step": 4}
+    resumed = b.fit(x, target, num_steps=6)
+    np.testing.assert_array_equal(np.asarray(resumed), np.asarray(full[4:]))
