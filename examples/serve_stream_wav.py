@@ -80,14 +80,23 @@ def main():
     params = create_empty_parameters(procs, G, key=jax.random.PRNGKey(0))
 
     streamer = StreamRenderer(procs, plan, params, block_len=block)
-    state = streamer.init_state()
+
+    # Ship the streaming step as a self-contained artifact (kernel
+    # caches baked in, initial state inside) and serve from the loaded
+    # copy — what a separate serving process would do.
+    from grafx_tpu.serving import export_stream_step, load_stream_step
+
+    example = jnp.zeros((1, 2, block), jnp.float32)
+    blob = export_stream_step(streamer, example)
+    step, state = load_stream_step(blob)
+    print(f"exported streaming step: {len(blob) / 1e6:.1f} MB artifact")
 
     n_blocks = audio.shape[-1] // block
     out = np.zeros((2, n_blocks * block), np.float32)
     t0 = time.time()
     for k in range(n_blocks):
         blk = jnp.asarray(audio[None, :, k * block : (k + 1) * block])
-        y, state = streamer(blk, state)
+        y, state = step(blk, state)
         out[:, k * block : (k + 1) * block] = np.asarray(y[0])
     dt = time.time() - t0
     audio_s = n_blocks * block / sr
