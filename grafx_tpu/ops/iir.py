@@ -490,51 +490,27 @@ def _biquad_block_stage_apply(
             jnp.einsum("nij,nj->ni", M, state_in, precision=PREC)
         )
 
-    # Propagate states across blocks: t_{k+1} = M t_k + t_in[k], t_0 = 0;
-    # scalar-component affine associative scan over the block axis (M is
-    # normal/triangular in the eigenbasis, so the scan is well-conditioned)
-    def bc(v):
-        return jnp.broadcast_to(v[:, None], (N, num_blocks))
-
-    m11, m12 = bc(M[:, 0, 0]), bc(M[:, 0, 1])
-    m21, m22 = bc(M[:, 1, 0]), bc(M[:, 1, 1])
-
-    def combine(first, second):
-        # second o first for affine maps t -> M t + v
-        f11, f12, f21, f22, fv1, fv2 = first
-        s11, s12, s21, s22, sv1, sv2 = second
-        return (
-            s11 * f11 + s12 * f21,
-            s11 * f12 + s12 * f22,
-            s21 * f11 + s22 * f21,
-            s21 * f12 + s22 * f22,
-            s11 * fv1 + s12 * fv2 + sv1,
-            s21 * fv1 + s22 * fv2 + sv2,
-        )
-
-    scanned = jax.lax.associative_scan(
-        combine, (m11, m12, m21, m22, s_in[..., 0], s_in[..., 1]), axis=1
+    # Propagate states across blocks: t_{k+1} = M t_k + t_in[k], t_0 = 0
+    # (M is normal/triangular in the eigenbasis, so the recurrence is
+    # well-conditioned).  Same constant-transition prefix doubling (with
+    # its hand-written adjoint) as the cascade path — the generic
+    # associative scan over affine-map tuples materializes NB copies of
+    # M and was measured ~10x slower at console shapes
+    # (benchmarks/propagation_ab.py).
+    s_after = _propagate_states(s_in, M)
+    first = (
+        jnp.zeros_like(s_after[:, :1])
+        if state_in is None
+        else state_in[:, None]
     )
-    if state_in is None:
-        first0 = jnp.zeros_like(scanned[4][:, :1])
-        first1 = jnp.zeros_like(scanned[5][:, :1])
-    else:
-        first0 = state_in[:, 0:1]
-        first1 = state_in[:, 1:2]
-    s_enter = jnp.stack(
-        [
-            jnp.concatenate([first0, scanned[4][:, :-1]], axis=1),
-            jnp.concatenate([first1, scanned[5][:, :-1]], axis=1),
-        ],
-        axis=-1,
-    )  # (N, NB, 2)
+    s_enter = jnp.concatenate([first, s_after[:, :-1]], axis=1)  # (N, NB, 2)
 
     # Initial-state response inside each block (MXU)
     y_is = jnp.einsum("nbs,nst->nbt", s_enter, K_out, precision=PREC_APPLY)
 
     y = (y_zs + y_is).reshape(N, num_blocks * T)
     if return_state:
-        return y[:, :L], jnp.stack([scanned[4][:, -1], scanned[5][:, -1]], -1)
+        return y[:, :L], s_after[:, -1]
     return y[:, :L]
 
 
@@ -1033,14 +1009,17 @@ def onepole_exact(
     if state_in is not None:
         s_in = s_in.at[:, 0].add(alpha_T * state_in)
 
-    m = jnp.broadcast_to(alpha_T[:, None], (N, num_blocks))
-
-    def combine(prev, cur):
-        m1, v1 = prev
-        m2, v2 = cur
-        return m2 * m1, m2 * v1 + v2
-
-    _, s_after = jax.lax.associative_scan(combine, (m, s_in), axis=1)
+    # scalar prefix doubling: s[k] = alpha_T s[k-1] + s_in[k] (the
+    # associative scan over (m, v) pairs materializes NB copies of the
+    # constant coefficient and multiplies them at every level)
+    s_after = s_in
+    P = alpha_T
+    shift = 1
+    while shift < num_blocks:
+        shifted = jnp.pad(s_after, ((0, 0), (shift, 0)))[:, :num_blocks]
+        s_after = s_after + P[:, None] * shifted
+        P = P * P
+        shift *= 2
     first = (
         jnp.zeros_like(s_after[:, :1])
         if state_in is None
