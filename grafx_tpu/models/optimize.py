@@ -32,8 +32,8 @@ class GraphParameterOptimizer:
         optimizer: an optax optimizer (default: ``adam(1e-2)``).
         trainable: optional parameter-freezing spec — the torch
             workflow of setting ``requires_grad=False`` per module
-            (reference docs train subsets this way) maps to
-            ``optax.masked`` here.  Either a type-level dict
+            (reference docs train subsets this way) maps to an
+            ``optax.multi_transform`` routing here.  Either a type-level dict
             ``{"eq": True, "reverb": False, ...}`` (missing types
             default to trainable) or a full boolean pytree matching the
             parameter structure.  Frozen leaves keep their initial
@@ -198,5 +198,9 @@ class GraphParameterOptimizer:
 
     def render_current(self, input_signals):
         """Render with the current parameters."""
-        out, intermediates, _ = jax.jit(self.render)(input_signals, self.params)
+        if not hasattr(self, "_render_jit"):
+            # one persistent jit wrapper — a fresh jax.jit(...) per call
+            # would re-trace every time
+            self._render_jit = jax.jit(self.render)
+        out, intermediates, _ = self._render_jit(input_signals, self.params)
         return out
