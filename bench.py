@@ -129,6 +129,15 @@ def main():
         "reverb": STFTMaskedNoiseReverb(ir_len=30000),
     }
 
+    fuse_note = ""
+    if os.environ.get("BENCH_FUSE", "0") == "1":
+        # A/B knob: fold serial LTI runs (the eq->geq pairs on 9/17
+        # chains) before scheduling; disclosed in the metric string.
+        from grafx_tpu.render import fuse_serial_lti
+
+        G, processors = fuse_serial_lti(G, processors)
+        fuse_note = ", LTI-fused"
+
     G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
     plan = prepare_render(G_t)
     params = create_empty_parameters(processors, G, key=jax.random.PRNGKey(0))
@@ -173,10 +182,10 @@ def main():
                 "metric": (
                     f"audio-sec/sec/chip, fwd+bwd grad step, {num_nodes}-node"
                     f" mix graph (batch {BATCH} x {NUM_CHAINS} sources x"
-                    f" stereo x 2^17 @ 44.1kHz); step time"
+                    f" stereo x 2^{AUDIO_LEN.bit_length() - 1} @ 44.1kHz); step time"
                     f" {step_s * 1000:.1f} ms"
                     f" ({step_s * 1000 / BATCH:.1f} ms/graph)"
-                    f"{precision_note}"
+                    f"{fuse_note}{precision_note}"
                 ),
                 "value": round(value, 1),
                 "unit": "audio-sec/sec/chip",
