@@ -248,13 +248,11 @@ def fft_convolve_upols(x, h, mode: str = "causal", part: int = 8192):
 
     lead_x = [(0, 0)] * (x.ndim - 1)
     xp = jnp.pad(x, lead_x + [(C, nb * C - L)])  # len (nb + 1) * C
-    segs = jnp.stack(
-        [
-            jax.lax.dynamic_slice_in_dim(xp, k * C, nfft, axis=-1)
-            for k in range(nb)
-        ],
-        axis=-2,
-    )  # (..., nb, 2C); segment k holds x[kC - C : kC + C]
+    # 50%-overlapped segments via reshape (two static slices + concat
+    # instead of nb dynamic slices): segment k holds x[kC - C : kC + C]
+    S = xp.reshape(xp.shape[:-1] + (nb + 1, C))
+    segs = jnp.concatenate([S[..., :-1, :], S[..., 1:, :]], axis=-1)
+    # (..., nb, 2C)
     X = jnp.fft.rfft(segs, n=nfft)  # (..., nb, F)
 
     lead_h = [(0, 0)] * (h.ndim - 1)
@@ -413,11 +411,11 @@ def fft_convolve_os(x, h, mode: str = "causal", block: int = None):
     pad_tail = nb * block - L + shift + (nfft - block - Lh + 1)
     lead = [(0, 0)] * (x.ndim - 1)
     xp = jnp.pad(x, lead + [(Lh - 1, pad_tail)])
+    # the hop is deliberately the maximal alias-free (non-pow2) value,
+    # so reshape framing does not apply — static per-segment slices
     segs = jnp.stack(
         [
-            jax.lax.dynamic_slice_in_dim(
-                xp, k * block, nfft, axis=-1
-            )
+            jax.lax.slice_in_dim(xp, k * block, k * block + nfft, axis=-1)
             for k in range(nb)
         ],
         axis=-2,
