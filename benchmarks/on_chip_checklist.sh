@@ -15,7 +15,7 @@ run verify_conv      -- python benchmarks/verify_conv_tpu.py
 run bench_default    -- python bench.py
 run bench_toep_gather -- env GRAFX_TPU_TOEPLITZ_BUILD=gather python bench.py
 run bench_powers_scan -- env GRAFX_TPU_POWERS=scan python bench.py
-run bench_cascade_fft -- env GRAFX_TPU_CASCADE_COMPOSE=fft python bench.py
+run bench_cascade_toep -- env GRAFX_TPU_CASCADE_COMPOSE=toeplitz python bench.py
 run bench_T64  -- env GRAFX_TPU_EXACT_BLOCK_SIZE=64 python bench.py
 run bench_T256 -- env GRAFX_TPU_EXACT_BLOCK_SIZE=256 python bench.py
 run bench_fused -- env BENCH_FUSE=1 python bench.py

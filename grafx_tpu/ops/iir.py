@@ -781,7 +781,13 @@ def _cascade_kernels_doubling(b, a, T):
 
 
 _TOEPLITZ_BUILD = _os.environ.get("GRAFX_TPU_TOEPLITZ_BUILD", "reshape")
-_CASCADE_COMPOSE = _os.environ.get("GRAFX_TPU_CASCADE_COMPOSE", "toeplitz")
+# Cascade-operator composition: "fft" truncated convs (default) or
+# "toeplitz" MXU matmuls.  The Toeplitz form is slightly more accurate
+# and mirrors the ZSR trade that won on-chip in round 2, but measured
+# 3x SLOWER on CPU (geq-like grad step 62 -> 195 ms — the (N, G/2, T, T)
+# operators are expensive without an MXU), so it stays opt-in until the
+# on-chip A/B (benchmarks/on_chip_checklist.sh) decides for TPU.
+_CASCADE_COMPOSE = _os.environ.get("GRAFX_TPU_CASCADE_COMPOSE", "fft")
 
 
 def _causal_toeplitz_nd(h):
