@@ -19,5 +19,6 @@ run bench_cascade_toep -- env GRAFX_TPU_CASCADE_COMPOSE=toeplitz python bench.py
 run bench_T64  -- env GRAFX_TPU_EXACT_BLOCK_SIZE=64 python bench.py
 run bench_T256 -- env GRAFX_TPU_EXACT_BLOCK_SIZE=256 python bench.py
 run bench_fused -- env BENCH_FUSE=1 python bench.py
+run bench_batch16 -- env BENCH_BATCH=16 python bench.py
 run bench_default2   -- python bench.py
 echo CHECKLIST_DONE
