@@ -92,8 +92,9 @@ def main():
         sys.stdout.flush()
 
     # Build-formulation equivalence ON THIS DEVICE: the default
-    # pad+tile+reshape Toeplitz and doubling-by-concatenation power
-    # builds vs the gather / associative-scan forms they replaced
+    # gather Toeplitz and associative-scan power builds (defaults —
+    # the forms the r3 on-chip A/B picked) vs the reshape / doubling
+    # alternates kept behind the env flags
     # (GRAFX_TPU_TOEPLITZ_BUILD / GRAFX_TPU_POWERS).  CPU asserts
     # bitwise (Toeplitz) / error-class (powers) equality; this repeats
     # the check where MXU/VPU lowering differs.
@@ -109,8 +110,8 @@ def main():
         iir_mod._POWERS_BUILD,
         iir_mod._CASCADE_COMPOSE,
     )
-    iir_mod._TOEPLITZ_BUILD = "gather"
-    iir_mod._POWERS_BUILD = "scan"
+    iir_mod._TOEPLITZ_BUILD = "reshape"
+    iir_mod._POWERS_BUILD = "doubling"
     iir_mod._CASCADE_COMPOSE = "fft"
     jax.clear_caches()
     try:
@@ -126,7 +127,7 @@ def main():
     # The Toeplitz builds are bitwise-equal (tests/ops/test_iir.py); the
     # powers differ in product-split rounding only, so the two float32
     # assemblies agree to ~1e-7 relative (CPU reference: -105 dB).
-    print(f"build-formulation (reshape/doubling/toeplitz vs gather/scan/fft): {e:7.1f} dB"
+    print(f"build-formulation (gather/scan/fft defaults vs reshape/doubling alternates): {e:7.1f} dB"
           "  (target <= -100)")
 
 

@@ -235,21 +235,24 @@ def _compensated_disc(a1, a2):
     return (p - 4.0 * a2) + err
 
 
-_POWERS_BUILD = _os.environ.get("GRAFX_TPU_POWERS", "doubling")
+# On-chip A/B (r3, outputs/postoutage): scan 17.9 ms vs doubling 19.4 ms
+# at the batch-4 headline — the scan form wins on TPU despite its larger
+# HLO op count, so it is the default; doubling stays for CPU-side study.
+_POWERS_BUILD = _os.environ.get("GRAFX_TPU_POWERS", "scan")
 
 
 def _cum_powers(re0, im0, T):
     """Complex cumulative powers ``l^n`` for ``n = 1..T`` of per-row
     eigenvalues ``l = re0 + i im0`` -> ``(re, im)`` arrays ``(M, T)``.
 
-    Default is doubling-by-concatenation: the length-``2^k`` prefix
-    times its own last element appends the next ``2^k`` powers, so the
-    whole sequence is ``ceil(log2 T)`` broadcast complex multiplies +
-    concats.  Every ``l^n`` is one product ``l^a * l^b`` (binary split)
-    deep per level — the same product-tree depth (and therefore the same
-    float32 error class) as the ``associative_scan`` formulation it
-    replaces, which lowers to odd/even interleave slicing at every
-    level.  ``GRAFX_TPU_POWERS=scan`` keeps the scan for on-chip A/B.
+    Default is the ``associative_scan`` build (measured faster on TPU —
+    see the A/B note at ``_POWERS_BUILD``).  The alternative
+    ``GRAFX_TPU_POWERS=doubling`` is doubling-by-concatenation: the
+    length-``2^k`` prefix times its own last element appends the next
+    ``2^k`` powers, so the whole sequence is ``ceil(log2 T)`` broadcast
+    complex multiplies + concats.  Both are one product ``l^a * l^b``
+    (binary split) deep per level, so they share the same float32 error
+    class; they differ only in how XLA lowers the data movement.
     """
     if _POWERS_BUILD == "scan":
         re = jnp.broadcast_to(re0[:, None], re0.shape + (T,))
@@ -780,7 +783,10 @@ def _cascade_kernels_doubling(b, a, T):
     return H_cas, W[:, :S], V[:, :S], A_blk[:, :S, :S]
 
 
-_TOEPLITZ_BUILD = _os.environ.get("GRAFX_TPU_TOEPLITZ_BUILD", "reshape")
+# On-chip A/B (r3, outputs/postoutage): gather 18.0 ms vs reshape 19.4 ms
+# at the batch-4 headline — XLA:TPU lowers this gather (and its scatter
+# adjoint) better than the tile+reshape form, so gather is the default.
+_TOEPLITZ_BUILD = _os.environ.get("GRAFX_TPU_TOEPLITZ_BUILD", "gather")
 # Cascade-operator composition: "fft" truncated convs (default) or
 # "toeplitz" MXU matmuls.  The Toeplitz form is slightly more accurate
 # and mirrors the ZSR trade that won on-chip in round 2, but measured
@@ -808,21 +814,23 @@ def _causal_toeplitz(h):
     length T=128 that is ~15x fewer FLOPs than the radix/matmul FFTs XLA
     emits on TPU, in exactly the MXU's favorite shape.
 
-    Default construction is the pad+tile+reshape trick (row ``q`` of the
-    ``2T``-periodic tiling of ``[h, 0]`` at stride ``2T - 1`` is
-    ``[h, 0]`` rolled by ``q``): contiguous copies only, so both the
-    build and its ADJOINT lower to reshapes/pads — the previous
-    gather-based build transposed to a scatter in the backward pass,
-    which serializes on TPU.  ``GRAFX_TPU_TOEPLITZ_BUILD=gather`` keeps
-    the old construction for on-chip A/B."""
+    Default construction is the clip+where gather (measured faster on
+    TPU — see the A/B note at ``_TOEPLITZ_BUILD``; the feared
+    serializing-scatter adjoint did not materialize as a bottleneck).
+    ``GRAFX_TPU_TOEPLITZ_BUILD=reshape`` selects the pad+tile+reshape
+    trick (row ``q`` of the ``2T``-periodic tiling of ``[h, 0]`` at
+    stride ``2T - 1`` is ``[h, 0]`` rolled by ``q``): contiguous copies
+    only, so both the build and its adjoint lower to reshapes/pads."""
     N, T = h.shape
-    if _TOEPLITZ_BUILD == "gather":
-        idx = jnp.arange(T)[None, :] - jnp.arange(T)[:, None]  # t - q
-        gathered = h[:, jnp.clip(idx, 0, T - 1)]
-        return jnp.where(idx >= 0, gathered, jnp.zeros_like(gathered))
-    z = jnp.concatenate([h, jnp.zeros_like(h)], axis=-1)  # (N, 2T)
-    zt = jnp.tile(z, (1, T))[:, : T * (2 * T - 1)].reshape(N, T, 2 * T - 1)
-    return zt[:, :, :T]
+    if _TOEPLITZ_BUILD == "reshape":
+        z = jnp.concatenate([h, jnp.zeros_like(h)], axis=-1)  # (N, 2T)
+        zt = jnp.tile(z, (1, T))[:, : T * (2 * T - 1)].reshape(
+            N, T, 2 * T - 1
+        )
+        return zt[:, :, :T]
+    idx = jnp.arange(T)[None, :] - jnp.arange(T)[:, None]  # t - q
+    gathered = h[:, jnp.clip(idx, 0, T - 1)]
+    return jnp.where(idx >= 0, gathered, jnp.zeros_like(gathered))
 
 
 # Toeplitz ZSR memory is N*T^2 floats; beyond this block length fall
