@@ -1,0 +1,92 @@
+"""Interleaved, variance-aware on-chip A/B matrix (VERDICT r3 #1).
+
+Runs bench.py under each arm's env overrides, INTERLEAVED across rounds
+(arm order repeats each round) so slow drift in the tunnel cannot bias
+one arm.  Each bench.py invocation itself reports a median over 5
+measured windows plus min/max; this driver aggregates the per-run
+medians and prints a table with median-of-medians and the full spread.
+
+Usage:  python benchmarks/ab_matrix.py [rounds]      (default 3)
+
+One TPU process at a time: this script runs the arms sequentially.
+Output: a markdown table on stdout + raw JSON lines to
+outputs/ab_matrix/<arm>_<round>.json.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+ARMS = [
+    ("default", {}),
+    ("powers=doubling", {"GRAFX_TPU_POWERS": "doubling"}),
+    ("toeplitz=reshape", {"GRAFX_TPU_TOEPLITZ_BUILD": "reshape"}),
+    ("cascade=toeplitz", {"GRAFX_TPU_CASCADE_COMPOSE": "toeplitz"}),
+    ("fuse=1", {"BENCH_FUSE": "1"}),
+]
+
+
+def main():
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    outdir = os.path.join(repo, "outputs", "ab_matrix")
+    os.makedirs(outdir, exist_ok=True)
+
+    results = {name: [] for name, _ in ARMS}
+    for r in range(rounds):
+        for name, env_over in ARMS:
+            env = dict(os.environ)
+            env.update(env_over)
+            proc = subprocess.run(
+                [sys.executable, "bench.py"],
+                cwd=repo,
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+            line = None
+            for ln in proc.stdout.splitlines():
+                ln = ln.strip()
+                if ln.startswith("{"):
+                    line = ln
+            tag = name.replace("=", "-")
+            with open(os.path.join(outdir, f"{tag}_r{r}.json"), "w") as f:
+                f.write((line or "") + "\n")
+                if proc.returncode != 0:
+                    f.write(proc.stderr[-2000:])
+            if line is None:
+                print(f"[round {r}] {name}: FAILED (rc={proc.returncode})",
+                      flush=True)
+                print(proc.stderr[-500:], flush=True)
+                continue
+            d = json.loads(line)
+            results[name].append(
+                (d["step_ms_median"], d["step_ms_min"], d["step_ms_max"])
+            )
+            print(
+                f"[round {r}] {name}: median {d['step_ms_median']} ms "
+                f"[{d['step_ms_min']}, {d['step_ms_max']}]",
+                flush=True,
+            )
+
+    print("\n| arm | median of run-medians (ms) | all run medians | min | max |")
+    print("|---|---|---|---|---|")
+    for name, _ in ARMS:
+        rs = results[name]
+        if not rs:
+            print(f"| {name} | FAILED | | | |")
+            continue
+        meds = sorted(m for m, _, _ in rs)
+        mid = meds[len(meds) // 2]
+        lo = min(mn for _, mn, _ in rs)
+        hi = max(mx for _, _, mx in rs)
+        print(
+            f"| {name} | {mid:.1f} | {', '.join(f'{m:.1f}' for m in meds)} "
+            f"| {lo:.1f} | {hi:.1f} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -13,9 +13,12 @@ run() {  # run NAME -- CMD...
   echo "exit=$? ($name)"
   tail -1 "$OUT/$name.log"
 }
+# A/B arms test the ALTERNATES against the shipped defaults
+# (defaults: TOEPLITZ_BUILD=gather, POWERS=scan, CASCADE_COMPOSE=fft).
+# For a variance-aware interleaved matrix use benchmarks/ab_matrix.py.
 run bench_default    -- python bench.py
-run bench_toep_gather -- env GRAFX_TPU_TOEPLITZ_BUILD=gather python bench.py
-run bench_powers_scan -- env GRAFX_TPU_POWERS=scan python bench.py
+run bench_toep_reshape -- env GRAFX_TPU_TOEPLITZ_BUILD=reshape python bench.py
+run bench_powers_doubling -- env GRAFX_TPU_POWERS=doubling python bench.py
 run bench_batch16 -- env BENCH_BATCH=16 python bench.py
 run bench_fused -- env BENCH_FUSE=1 python bench.py
 run bench_cascade_toep -- env GRAFX_TPU_CASCADE_COMPOSE=toeplitz python bench.py
@@ -24,4 +27,7 @@ run bench_T256 -- env GRAFX_TPU_EXACT_BLOCK_SIZE=256 python bench.py
 run verify_ballistics -- python benchmarks/verify_ballistics_tpu.py
 run verify_conv      -- python benchmarks/verify_conv_tpu.py
 run verify_iir       -- python benchmarks/verify_iir_tpu.py
+# Repeat default at the end to bound run-to-run noise on the A/B deltas
+# (bench.py itself reports median + min/max over 5 windows).
+run bench_default2   -- python bench.py
 echo CHECKLIST_DONE

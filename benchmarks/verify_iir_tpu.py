@@ -90,6 +90,7 @@ def main():
         e = db(y - y_ref, y_ref)
         print(f"{name}: error {e:7.1f} dB  (target <= -60)")
         sys.stdout.flush()
+        assert e <= -60.0, f"{name}: {e:.1f} dB misses the -60 dB contract"
 
     # Build-formulation equivalence ON THIS DEVICE: the default
     # gather Toeplitz and associative-scan power builds (defaults —
@@ -102,6 +103,7 @@ def main():
 
     Bs, As = random_stable_biquads(rng, 4, 24, r_hi=0.99, normalized=False)
     x = rng.randn(4, 2**15)
+    y_ref = oracle(x, Bs, As)
     xj = jnp.asarray(x, jnp.float32)
     Bj, Aj = jnp.asarray(Bs, jnp.float32), jnp.asarray(As, jnp.float32)
     y_new = np.asarray(jax.block_until_ready(biquad_exact(xj, Bj, Aj)))
@@ -124,11 +126,30 @@ def main():
         ) = saved
         jax.clear_caches()
     e = db((y_new - y_old).astype(np.float64), y_old.astype(np.float64))
-    # The Toeplitz builds are bitwise-equal (tests/ops/test_iir.py); the
-    # powers differ in product-split rounding only, so the two float32
-    # assemblies agree to ~1e-7 relative (CPU reference: -105 dB).
-    print(f"build-formulation (gather/scan/fft defaults vs reshape/doubling alternates): {e:7.1f} dB"
-          "  (target <= -100)")
+    e_new = db(y_new.astype(np.float64) - y_ref, y_ref)
+    e_old = db(y_old.astype(np.float64) - y_ref, y_ref)
+    # Mutual f32-vs-f32 agreement between the two assemblies.  The
+    # Toeplitz builds are bitwise-equal (tests/ops/test_iir.py); the
+    # powers differ in product-split rounding only.  CPU measures
+    # -105 dB; on TPU, XLA's fma contraction / fusion choices differ
+    # per formulation and the r<=0.99 UNNORMALIZED K=24 cascade
+    # amplifies those last-bit differences through its lognormal gain,
+    # so the r3 on-chip run measured -92.9 dB.  Neither assembly is
+    # wrong — both sit at the same error class vs the float64 oracle
+    # (printed below; that is the number that matters).  Target re-set
+    # to -80 dB mutual with that rationale (VERDICT r3 #1): a genuinely
+    # broken formulation shows up ~-30 dB (the bf16-MXU class), far
+    # from this gate.
+    print(
+        f"build-formulation (gather/scan/fft defaults vs reshape/doubling"
+        f" alternates): mutual {e:7.1f} dB (target <= -80);"
+        f" vs f64 oracle: default {e_new:6.1f} dB, alternate {e_old:6.1f} dB"
+    )
+    assert e <= -80.0, f"build-formulation mutual agreement {e:.1f} dB > -80"
+    assert abs(e_new - e_old) < 6.0, (
+        f"assemblies differ in oracle error class: {e_new:.1f} vs {e_old:.1f} dB"
+    )
+    print("verify_iir_tpu: ALL GATES PASSED")
 
 
 if __name__ == "__main__":

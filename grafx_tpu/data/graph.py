@@ -69,10 +69,10 @@ class GRAFX(nx.MultiDiGraph):
                 if cand["outlet"] == outlet and cand["inlet"] == inlet:
                     self.raise_warning(
                         f"{source_id} <{outlet}> -> {dest_id} <{inlet}>:"
-                        " existing edge."
+                        " this edge already exists in the graph."
                     )
         if source_id == dest_id:
-            self.raise_warning("no self edge is allowed!")
+            self.raise_warning("self-loops are not supported.")
 
         config = self.graph["config"]
         source_type = self.nodes[source_id]["node_type"]

@@ -413,10 +413,14 @@ def test_causal_toeplitz_reshape_matches_gather():
 
     rng = np.random.RandomState(3)
     h = jnp.asarray(rng.randn(5, 128).astype(np.float32))
-    built = iir_mod._causal_toeplitz(h)
 
+    # Force BOTH formulations explicitly (ADVICE r3): comparing the
+    # ambient default against a forced value is tautological whenever
+    # the default equals the forced value.
     prev = iir_mod._TOEPLITZ_BUILD
     try:
+        iir_mod._TOEPLITZ_BUILD = "reshape"
+        built = iir_mod._causal_toeplitz(h)
         iir_mod._TOEPLITZ_BUILD = "gather"
         gathered = iir_mod._causal_toeplitz(h)
     finally:
@@ -444,9 +448,12 @@ def test_cum_powers_doubling_matches_scan_and_f64():
     re0 = jnp.asarray((r * np.cos(th)).astype(np.float32))
     im0 = jnp.asarray((r * np.sin(th)).astype(np.float32))
     for T in (1, 3, 128, 200):
-        dr, di = iir_mod._cum_powers(re0, im0, T)
+        # Force BOTH formulations explicitly (ADVICE r3): never compare
+        # the ambient default against itself.
         prev = iir_mod._POWERS_BUILD
         try:
+            iir_mod._POWERS_BUILD = "doubling"
+            dr, di = iir_mod._cum_powers(re0, im0, T)
             iir_mod._POWERS_BUILD = "scan"
             sr, si = iir_mod._cum_powers(re0, im0, T)
         finally:
@@ -473,9 +480,12 @@ def test_cascade_toeplitz_compose_matches_fft_compose():
     rng = np.random.RandomState(7)
     Bs, As = random_stable_biquads(rng, 3, 12)
     x = rng.randn(3, 8192).astype(np.float32)
-    y_t = biquad_exact(jnp.array(x), jnp.array(Bs), jnp.array(As))
+    # Force BOTH compositions explicitly (ADVICE r3 pattern): never
+    # compare the ambient default against itself.
     prev = iir_mod._CASCADE_COMPOSE
     try:
+        iir_mod._CASCADE_COMPOSE = "toeplitz"
+        y_t = biquad_exact(jnp.array(x), jnp.array(Bs), jnp.array(As))
         iir_mod._CASCADE_COMPOSE = "fft"
         y_f = biquad_exact(jnp.array(x), jnp.array(Bs), jnp.array(As))
     finally:
