@@ -130,13 +130,21 @@ def main():
     }
 
     fuse_note = ""
+    fuse_kinds = []
     if os.environ.get("BENCH_FUSE", "0") == "1":
         # A/B knob: fold serial LTI runs (the eq->geq pairs on 9/17
         # chains) before scheduling; disclosed in the metric string.
+        # Pinned to the r3 families so the arm stays comparable across
+        # rounds; BENCH_FUSE_DYN=1 adds the dynamics family (r4).
+        fuse_kinds += ["fir", "iir"]
+        fuse_note = ", LTI-fused"
+    if os.environ.get("BENCH_FUSE_DYN", "0") == "1":
+        fuse_kinds += ["dynamics"]
+        fuse_note += ", dyn-fused"
+    if fuse_kinds:
         from grafx_tpu.render import fuse_serial_lti
 
-        G, processors = fuse_serial_lti(G, processors)
-        fuse_note = ", LTI-fused"
+        G, processors = fuse_serial_lti(G, processors, kinds=tuple(fuse_kinds))
 
     G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
     plan = prepare_render(G_t)

@@ -285,3 +285,101 @@ def _gain_bwd(kind, res, g):
 
 
 ballistics_gain_core.defvjp(_gain_fwd, _gain_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused dynamics-pair gain (gate -> compressor in one walk; Pallas-only)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
+def ballistics_gain_pair_core(
+    u,
+    at_a, rt_a, th_a, cf_a, hk_a,
+    at_b, rt_b, th_b, cf_b, hk_b,
+    kinds=("noisegate", "compressor"),
+):
+    """Two chained ballistics+quadratic-knee gain stages in ONE walk.
+
+    Computes ``gain = g_a * g_b`` where ``g_a`` is the first stage's
+    fused smoother+knee gain on the input energy ``u`` (initial state
+    1.0), and ``g_b`` the second stage's gain on the gated energy
+    ``g_a^2 * u`` — i.e. exactly the composition of two
+    :func:`ballistics_gain_core` stages with the intermediate signal
+    eliminated.  Used by the "dynamics" graph-fusion family
+    (render/fuse.py FusedDynamicsChain) for serial gate -> compressor
+    runs; both recursions and the complete adjoint live in single
+    Pallas kernels (ops/ballistics_tpu.py).
+
+    Args:
+        u: ``(N, L)`` input energy envelopes.
+        at_a..hk_a: ``(N,)`` first-stage recursion/knee constants.
+        at_b..hk_b: ``(N,)`` second-stage constants.
+        kinds: static pair of ``"compressor"``/``"noisegate"``.
+
+    Returns:
+        ``(N, L)`` combined gains.
+    """
+    from grafx_tpu.ops.ballistics_tpu import (
+        LANES,
+        expand_lanes,
+        forward_gain_pair_pallas_tm,
+        pad_time_major,
+    )
+
+    N, L = u.shape
+    S = -(-N // LANES)
+    ex = lambda v: expand_lanes(v, S)
+    gain_t = forward_gain_pair_pallas_tm(
+        pad_time_major(u),
+        (ex(at_a), ex(rt_a), ex(th_a), ex(cf_a), ex(hk_a)),
+        (ex(at_b), ex(rt_b), ex(th_b), ex(cf_b), ex(hk_b)),
+        kinds=kinds,
+        with_residuals=False,
+    )
+    return gain_t[:L, :N].T
+
+
+def _gain_pair_fwd(
+    u, at_a, rt_a, th_a, cf_a, hk_a, at_b, rt_b, th_b, cf_b, hk_b, kinds
+):
+    from grafx_tpu.ops.ballistics_tpu import (
+        LANES,
+        expand_lanes,
+        forward_gain_pair_pallas_tm,
+        pad_time_major,
+    )
+
+    N, L = u.shape
+    S = -(-N // LANES)
+    ex = lambda v: expand_lanes(v, S)
+    consts_a = (ex(at_a), ex(rt_a), ex(th_a), ex(cf_a), ex(hk_a))
+    consts_b = (ex(at_b), ex(rt_b), ex(th_b), ex(cf_b), ex(hk_b))
+    ut = pad_time_major(u)
+    gain_t, da_t, db_t, vlast, ulast = forward_gain_pair_pallas_tm(
+        ut, consts_a, consts_b, kinds=kinds, with_residuals=True
+    )
+    res = (da_t, db_t, ut, vlast, ulast, consts_a, consts_b)
+    return gain_t[:L, :N].T, res
+
+
+def _gain_pair_bwd(kinds, res, g):
+    from grafx_tpu.ops.ballistics_tpu import (
+        LANES,
+        backward_gain_pair_pallas_tm,
+        pad_time_major,
+    )
+
+    da_t, db_t, ut, vlast, ulast, consts_a, consts_b = res
+    N, L = g.shape
+    ggt = pad_time_major(g)
+    outs = backward_gain_pair_pallas_tm(
+        da_t, db_t, ut, vlast, ulast, ggt, consts_a, consts_b, kinds=kinds
+    )
+    du_t = outs[0]
+    du = du_t[:L, :N].T
+    pick = lambda v: v[::8].reshape(-1)[:N]
+    return (du,) + tuple(pick(v) for v in outs[1:])
+
+
+ballistics_gain_pair_core.defvjp(_gain_pair_fwd, _gain_pair_bwd)

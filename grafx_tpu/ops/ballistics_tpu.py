@@ -697,3 +697,414 @@ def backward_gain_pallas_tm(
         scratch_shapes=[pltpu.VMEM((1, LANES), dt.dtype)] * 8,
         interpret=interpret,
     )(at2, rt2, th2, cf2, hk2, ylast, dt, ut, ggt)
+
+
+# ---------------------------------------------------------------------------
+# Fused dynamics-PAIR kernels: two chained ballistics+knee gain stages
+# (gate -> compressor) in ONE walk over time.
+# ---------------------------------------------------------------------------
+#
+# A serial gate -> compressor chain is two data-dependent recursions where
+# the second consumes the first's output energy: with shared input energy
+# e[n], gate envelope v, gate gain ga = exp(cf_a f_a(log(v+eps) - th_a)),
+# the compressor smooths ec[n] = ga[n]^2 e[n] (== the channel energy of the
+# gated signal) and applies its own knee.  Both recursions are causally
+# local, so one kernel computes the pair per tile: walk the gate recursion
+# over the tile's rows (serial), evaluate the gate knee VECTORIZED over the
+# tile (off the sequential chain), then walk the compressor recursion over
+# the scaled tile.  vs two back-to-back fused-gain kernels this halves the
+# kernel launches and HBM round-trips per direction and drops the
+# intermediate gated-signal materialization entirely (render/fuse.py
+# FusedDynamicsChain computes y = ga gb x in one multiply outside).
+#
+# Initial states are fixed at 1.0 (the processors' gain path always seeds
+# the smoother with ones), so the pair core takes no zi and emits no dzi.
+
+
+def _fwd_gain_pair_kernel(
+    ata_ref, rta_ref, tha_ref, cfa_ref, hka_ref,
+    atb_ref, rtb_ref, thb_ref, cfb_ref, hkb_ref,
+    u_ref,
+    gain_ref, da_ref, db_ref, vlast_ref, ulast_ref,
+    state_a, state_b, *, chunk, kinds,
+):
+    """Forward pair walk emitting the residuals the backward needs:
+    ``d_a = e - v_prev``, ``d_b = ec - u_prev`` and the final states."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        state_a[:] = jnp.ones_like(state_a)
+        state_b[:] = jnp.ones_like(state_b)
+
+    ata = ata_ref[0:1, :]
+    rta = rta_ref[0:1, :]
+    tha = tha_ref[0:1, :]
+    cfa = cfa_ref[0:1, :]
+    hka = hka_ref[0:1, :]
+    atb = atb_ref[0:1, :]
+    rtb = rtb_ref[0:1, :]
+    thb = thb_ref[0:1, :]
+    cfb = cfb_ref[0:1, :]
+    hkb = hkb_ref[0:1, :]
+    oma_a = 1.0 - ata
+    omr_a = 1.0 - rta
+    oma_b = 1.0 - atb
+    omr_b = 1.0 - rtb
+
+    def body(j, carry):
+        st_a, st_b = carry
+        tile = u_ref[pl.ds(j * TILE, TILE), :]
+        # --- stage A (gate) walk ---------------------------------------
+        au = ata * tile
+        ru = rta * tile
+        rows = []
+        drows_a = []
+        for k in range(TILE):
+            row = tile[k : k + 1, :]
+            drows_a.append(row - st_a)
+            sa = oma_a * st_a + au[k : k + 1, :]
+            sr = omr_a * st_a + ru[k : k + 1, :]
+            st_a = jnp.where(row > st_a, sa, sr)
+            rows.append(st_a)
+        v_tile = jnp.concatenate(rows, axis=0)
+        # gate knee, vectorized over the tile (off the sequential chain)
+        xa = jnp.log(v_tile + _EPS) - tha
+        ga = jnp.exp(cfa * _knee_f(xa, hka, kinds[0]))
+        ec = ga * ga * tile
+        # --- stage B (compressor) walk over the gated energy ------------
+        au2 = atb * ec
+        ru2 = rtb * ec
+        rows2 = []
+        drows_b = []
+        for k in range(TILE):
+            row = ec[k : k + 1, :]
+            drows_b.append(row - st_b)
+            sa = oma_b * st_b + au2[k : k + 1, :]
+            sr = omr_b * st_b + ru2[k : k + 1, :]
+            st_b = jnp.where(row > st_b, sa, sr)
+            rows2.append(st_b)
+        u2_tile = jnp.concatenate(rows2, axis=0)
+        xb = jnp.log(u2_tile + _EPS) - thb
+        gb = jnp.exp(cfb * _knee_f(xb, hkb, kinds[1]))
+        gain_ref[pl.ds(j * TILE, TILE), :] = ga * gb
+        da_ref[pl.ds(j * TILE, TILE), :] = jnp.concatenate(drows_a, axis=0)
+        db_ref[pl.ds(j * TILE, TILE), :] = jnp.concatenate(drows_b, axis=0)
+        return st_a, st_b
+
+    st_a, st_b = jax.lax.fori_loop(
+        0, chunk // TILE, body, (state_a[:], state_b[:])
+    )
+    state_a[:] = st_a
+    state_b[:] = st_b
+    vlast_ref[:] = jnp.broadcast_to(st_a, vlast_ref.shape)
+    ulast_ref[:] = jnp.broadcast_to(st_b, ulast_ref.shape)
+
+
+def _fwd_gain_pair_only_kernel(
+    ata_ref, rta_ref, tha_ref, cfa_ref, hka_ref,
+    atb_ref, rtb_ref, thb_ref, cfb_ref, hkb_ref,
+    u_ref, gain_ref, state_a, state_b, *, chunk, kinds,
+):
+    """Primal-only pair forward (no residual outputs for the no-grad
+    path; Pallas outputs cannot be dead-code-eliminated)."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        state_a[:] = jnp.ones_like(state_a)
+        state_b[:] = jnp.ones_like(state_b)
+
+    ata = ata_ref[0:1, :]
+    rta = rta_ref[0:1, :]
+    tha = tha_ref[0:1, :]
+    cfa = cfa_ref[0:1, :]
+    hka = hka_ref[0:1, :]
+    atb = atb_ref[0:1, :]
+    rtb = rtb_ref[0:1, :]
+    thb = thb_ref[0:1, :]
+    cfb = cfb_ref[0:1, :]
+    hkb = hkb_ref[0:1, :]
+    oma_a = 1.0 - ata
+    omr_a = 1.0 - rta
+    oma_b = 1.0 - atb
+    omr_b = 1.0 - rtb
+
+    def body(j, carry):
+        st_a, st_b = carry
+        tile = u_ref[pl.ds(j * TILE, TILE), :]
+        au = ata * tile
+        ru = rta * tile
+        rows = []
+        for k in range(TILE):
+            row = tile[k : k + 1, :]
+            sa = oma_a * st_a + au[k : k + 1, :]
+            sr = omr_a * st_a + ru[k : k + 1, :]
+            st_a = jnp.where(row > st_a, sa, sr)
+            rows.append(st_a)
+        v_tile = jnp.concatenate(rows, axis=0)
+        xa = jnp.log(v_tile + _EPS) - tha
+        ga = jnp.exp(cfa * _knee_f(xa, hka, kinds[0]))
+        ec = ga * ga * tile
+        au2 = atb * ec
+        ru2 = rtb * ec
+        rows2 = []
+        for k in range(TILE):
+            row = ec[k : k + 1, :]
+            sa = oma_b * st_b + au2[k : k + 1, :]
+            sr = omr_b * st_b + ru2[k : k + 1, :]
+            st_b = jnp.where(row > st_b, sa, sr)
+            rows2.append(st_b)
+        u2_tile = jnp.concatenate(rows2, axis=0)
+        xb = jnp.log(u2_tile + _EPS) - thb
+        gb = jnp.exp(cfb * _knee_f(xb, hkb, kinds[1]))
+        gain_ref[pl.ds(j * TILE, TILE), :] = ga * gb
+        return st_a, st_b
+
+    st_a, st_b = jax.lax.fori_loop(
+        0, chunk // TILE, body, (state_a[:], state_b[:])
+    )
+    state_a[:] = st_a
+    state_b[:] = st_b
+
+
+def _bwd_gain_pair_kernel(
+    ata_ref, rta_ref, tha_ref, cfa_ref, hka_ref,
+    atb_ref, rtb_ref, thb_ref, cfb_ref, hkb_ref,
+    vlast_ref, ulast_ref,
+    da_ref, db_ref, u_ref, gg_ref,
+    du_ref,
+    data_ref, drta_ref, dtha_ref, dcfa_ref, dhka_ref,
+    datb_ref, drtb_ref, dthb_ref, dcfb_ref, dhkb_ref,
+    gha_s, omca_s, ghb_s, omcb_s, uda_s, udb_s,
+    aata_s, arta_s, atha_s, acfa_s, ahka_s,
+    aatb_s, artb_s, athb_s, acfb_s, ahkb_s,
+    *, chunk, kinds,
+):
+    """Adjoint of :func:`_fwd_gain_pair_kernel` in one reverse pass.
+
+    Per tile (vectorized): reconstruct the gate envelope ``v`` from
+    ``e - d_a`` shifted one row toward past (carry seeded with
+    ``v_last``), recompute the gate gain and the gated energy ``ec``,
+    reconstruct the compressor envelope from ``ec - d_b`` likewise;
+    then (serial) walk the compressor adjoint recursion over the tile,
+    turn its ``d ec`` into the gate-gain cotangent, and (serial) walk
+    the gate adjoint recursion.  All knee/parameter reductions are
+    vectorized off the chains, exactly like ``_bwd_gain_kernel``.
+    """
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        for ref in (
+            gha_s, omca_s, ghb_s, omcb_s,
+            aata_s, arta_s, atha_s, acfa_s, ahka_s,
+            aatb_s, artb_s, athb_s, acfb_s, ahkb_s,
+        ):
+            ref[:] = jnp.zeros_like(ref)
+        uda_s[:] = vlast_ref[0:1, :]
+        udb_s[:] = ulast_ref[0:1, :]
+
+    ata = ata_ref[0:1, :]
+    rta = rta_ref[0:1, :]
+    tha = tha_ref[0:1, :]
+    cfa = cfa_ref[0:1, :]
+    hka = hka_ref[0:1, :]
+    atb = atb_ref[0:1, :]
+    rtb = rtb_ref[0:1, :]
+    thb = thb_ref[0:1, :]
+    cfb = cfb_ref[0:1, :]
+    hkb = hkb_ref[0:1, :]
+
+    def body(j, carry):
+        (gha, omca, ghb, omcb, uda_c, udb_c,
+         aata, arta, atha, acfa, ahka,
+         aatb, artb, athb, acfb, ahkb) = carry
+        base_i = chunk - (j + 1) * TILE
+        da_tile = da_ref[pl.ds(base_i, TILE), :]
+        db_tile = db_ref[pl.ds(base_i, TILE), :]
+        u_tile = u_ref[pl.ds(base_i, TILE), :]
+        gg_tile = gg_ref[pl.ds(base_i, TILE), :]
+
+        # reconstruct v[n] (gate envelope) from e - d_a = v[n-1]
+        uda = u_tile - da_tile
+        v_tile = jnp.concatenate([uda[1:], uda_c], axis=0)
+        new_uda_c = uda[0:1]
+
+        xa = jnp.log(v_tile + _EPS) - tha
+        fa = _knee_f(xa, hka, kinds[0])
+        fpa = _knee_fp(xa, hka, kinds[0])
+        ga = jnp.exp(cfa * fa)
+        ec = ga * ga * u_tile
+
+        # reconstruct u2[n] (compressor envelope) from ec - d_b = u2[n-1]
+        udb = ec - db_tile
+        u2_tile = jnp.concatenate([udb[1:], udb_c], axis=0)
+        new_udb_c = udb[0:1]
+
+        xb = jnp.log(u2_tile + _EPS) - thb
+        fb = _knee_f(xb, hkb, kinds[1])
+        fpb = _knee_fp(xb, hkb, kinds[1])
+        gb = jnp.exp(cfb * fb)
+
+        # --- compressor (stage B) adjoint --------------------------------
+        base_b = gg_tile * ga * gb  # cotangent on gb, times gb
+        g2 = base_b * cfb * fpb / (u2_tile + _EPS)  # cotangent on u2
+        athb = athb + jnp.sum(-base_b * cfb * fpb, axis=0, keepdims=True)
+        acfb = acfb + jnp.sum(base_b * fb, axis=0, keepdims=True)
+        ahkb = ahkb + jnp.sum(
+            base_b * cfb * _knee_fhk(xb, hkb, kinds[1]), axis=0, keepdims=True
+        )
+        attb = db_tile > 0
+        ctb = jnp.where(attb, atb, rtb)
+        dec_rows = []
+        dcb_rows = []
+        for k in range(TILE - 1, -1, -1):
+            ghb = g2[k : k + 1, :] + omcb * ghb
+            omcb = 1.0 - ctb[k : k + 1, :]
+            dcb_rows.append(db_tile[k : k + 1, :] * ghb)
+            dec_rows.append(ctb[k : k + 1, :] * ghb)
+        dec = jnp.concatenate(dec_rows[::-1], axis=0)  # cotangent on ec
+        dcb = jnp.concatenate(dcb_rows[::-1], axis=0)
+        aatb = aatb + jnp.sum(jnp.where(attb, dcb, 0.0), axis=0, keepdims=True)
+        artb = artb + jnp.sum(jnp.where(attb, 0.0, dcb), axis=0, keepdims=True)
+
+        # --- gate (stage A) adjoint --------------------------------------
+        # ga cotangent: direct through gain = ga gb, plus via ec = ga^2 e
+        base_a = gg_tile * ga * gb + dec * 2.0 * ga * ga * u_tile
+        # (both terms carry a factor ga so base_a is "cotangent(ga) * ga")
+        g1 = base_a * cfa * fpa / (v_tile + _EPS)  # cotangent on v
+        atha = atha + jnp.sum(-base_a * cfa * fpa, axis=0, keepdims=True)
+        acfa = acfa + jnp.sum(base_a * fa, axis=0, keepdims=True)
+        ahka = ahka + jnp.sum(
+            base_a * cfa * _knee_fhk(xa, hka, kinds[0]), axis=0, keepdims=True
+        )
+        atta = da_tile > 0
+        cta = jnp.where(atta, ata, rta)
+        du_rows = []
+        dca_rows = []
+        for k in range(TILE - 1, -1, -1):
+            gha = g1[k : k + 1, :] + omca * gha
+            omca = 1.0 - cta[k : k + 1, :]
+            dca_rows.append(da_tile[k : k + 1, :] * gha)
+            du_rows.append(cta[k : k + 1, :] * gha)
+        dca = jnp.concatenate(dca_rows[::-1], axis=0)
+        aata = aata + jnp.sum(jnp.where(atta, dca, 0.0), axis=0, keepdims=True)
+        arta = arta + jnp.sum(jnp.where(atta, 0.0, dca), axis=0, keepdims=True)
+
+        # total input-energy cotangent: gate walk + the ec = ga^2 e path
+        du_ref[pl.ds(base_i, TILE), :] = (
+            jnp.concatenate(du_rows[::-1], axis=0) + dec * ga * ga
+        )
+        return (gha, omca, ghb, omcb, new_uda_c, new_udb_c,
+                aata, arta, atha, acfa, ahka,
+                aatb, artb, athb, acfb, ahkb)
+
+    out = jax.lax.fori_loop(
+        0, chunk // TILE, body,
+        (gha_s[:], omca_s[:], ghb_s[:], omcb_s[:], uda_s[:], udb_s[:],
+         aata_s[:], arta_s[:], atha_s[:], acfa_s[:], ahka_s[:],
+         aatb_s[:], artb_s[:], athb_s[:], acfb_s[:], ahkb_s[:]),
+    )
+    (gha, omca, ghb, omcb, uda_c, udb_c,
+     aata, arta, atha, acfa, ahka,
+     aatb, artb, athb, acfb, ahkb) = out
+    gha_s[:] = gha
+    omca_s[:] = omca
+    ghb_s[:] = ghb
+    omcb_s[:] = omcb
+    uda_s[:] = uda_c
+    udb_s[:] = udb_c
+    aata_s[:] = aata
+    arta_s[:] = arta
+    atha_s[:] = atha
+    acfa_s[:] = acfa
+    ahka_s[:] = ahka
+    aatb_s[:] = aatb
+    artb_s[:] = artb
+    athb_s[:] = athb
+    acfb_s[:] = acfb
+    ahkb_s[:] = ahkb
+    data_ref[:] = jnp.broadcast_to(aata, data_ref.shape)
+    drta_ref[:] = jnp.broadcast_to(arta, drta_ref.shape)
+    dtha_ref[:] = jnp.broadcast_to(atha, dtha_ref.shape)
+    dcfa_ref[:] = jnp.broadcast_to(acfa, dcfa_ref.shape)
+    dhka_ref[:] = jnp.broadcast_to(ahka, dhka_ref.shape)
+    datb_ref[:] = jnp.broadcast_to(aatb, datb_ref.shape)
+    drtb_ref[:] = jnp.broadcast_to(artb, drtb_ref.shape)
+    dthb_ref[:] = jnp.broadcast_to(athb, dthb_ref.shape)
+    dcfb_ref[:] = jnp.broadcast_to(acfb, dcfb_ref.shape)
+    dhkb_ref[:] = jnp.broadcast_to(ahkb, dhkb_ref.shape)
+
+
+def forward_gain_pair_pallas_tm(
+    ut, consts_a, consts_b, chunk: int = 2048,
+    kinds=("noisegate", "compressor"), interpret: bool = False,
+    with_residuals: bool = True,
+):
+    """Fused gate->compressor pair forward on the padded time-major
+    layout.  ``consts_a`` / ``consts_b`` are 5-tuples of ``(S*8, LANES)``
+    per-lane constants ``(at, rt, th, cf, hk)`` from
+    :func:`expand_lanes`.  Returns ``gain_t`` alone, or
+    ``(gain_t, d_a, d_b, v_last, u_last)`` with residuals."""
+    Lp, Np = ut.shape
+    S = Np // LANES
+    grid = (S, Lp // chunk)
+    lane_spec = pl.BlockSpec(
+        (8, LANES), lambda s, i: (s, 0), memory_space=pltpu.VMEM
+    )
+    data_spec = pl.BlockSpec(
+        (chunk, LANES), lambda s, i: (i, s), memory_space=pltpu.VMEM
+    )
+    full = jax.ShapeDtypeStruct((Lp, Np), ut.dtype)
+    small = jax.ShapeDtypeStruct((S * 8, LANES), ut.dtype)
+    if with_residuals:
+        return pl.pallas_call(
+            functools.partial(_fwd_gain_pair_kernel, chunk=chunk, kinds=kinds),
+            grid=grid,
+            in_specs=[lane_spec] * 10 + [data_spec],
+            out_specs=(data_spec, data_spec, data_spec, lane_spec, lane_spec),
+            out_shape=(full, full, full, small, small),
+            scratch_shapes=[pltpu.VMEM((1, LANES), ut.dtype)] * 2,
+            interpret=interpret,
+        )(*consts_a, *consts_b, ut)
+    return pl.pallas_call(
+        functools.partial(
+            _fwd_gain_pair_only_kernel, chunk=chunk, kinds=kinds
+        ),
+        grid=grid,
+        in_specs=[lane_spec] * 10 + [data_spec],
+        out_specs=data_spec,
+        out_shape=full,
+        scratch_shapes=[pltpu.VMEM((1, LANES), ut.dtype)] * 2,
+        interpret=interpret,
+    )(*consts_a, *consts_b, ut)
+
+
+def backward_gain_pair_pallas_tm(
+    da_t, db_t, ut, vlast, ulast, ggt, consts_a, consts_b,
+    chunk: int = 2048, kinds=("noisegate", "compressor"),
+    interpret: bool = False,
+):
+    """Fused pair adjoint: returns ``(du_t, then 10 per-lane grads:
+    dat_a, drt_a, dth_a, dcf_a, dhk_a, dat_b, drt_b, dth_b, dcf_b,
+    dhk_b)`` (take ``[::8]`` of the small outputs)."""
+    Lp, Np = da_t.shape
+    S = Np // LANES
+    grid = (S, Lp // chunk)
+    rev_spec = pl.BlockSpec(
+        (chunk, LANES),
+        lambda s, i: (pl.num_programs(1) - 1 - i, s),
+        memory_space=pltpu.VMEM,
+    )
+    lane_spec = pl.BlockSpec(
+        (8, LANES), lambda s, i: (s, 0), memory_space=pltpu.VMEM
+    )
+    small = jax.ShapeDtypeStruct((S * 8, LANES), da_t.dtype)
+    return pl.pallas_call(
+        functools.partial(_bwd_gain_pair_kernel, chunk=chunk, kinds=kinds),
+        grid=grid,
+        in_specs=[lane_spec] * 12 + [rev_spec] * 4,
+        out_specs=(rev_spec,) + (lane_spec,) * 10,
+        out_shape=(jax.ShapeDtypeStruct((Lp, Np), da_t.dtype),)
+        + (small,) * 10,
+        scratch_shapes=[pltpu.VMEM((1, LANES), da_t.dtype)] * 16,
+        interpret=interpret,
+    )(*consts_a, *consts_b, vlast, ulast, da_t, db_t, ut, ggt)

@@ -42,6 +42,11 @@ class Compressor:
     """
 
     _fused_kind = "compressor"
+    #: joins the "dynamics" graph-fusion family (render/fuse.py): the
+    #: node's effect is ``y = gain(mean(x^2, ch)) * x``, so serial runs
+    #: can compute one shared energy and thread gain products through
+    #: members (``mean((g x)^2, ch) == g^2 mean(x^2, ch)``).
+    dynamics_fusable = True
 
     def __init__(
         self,
@@ -77,6 +82,31 @@ class Compressor:
         """Compress ``(N, C, L)`` signals; see ``parameter_size`` for the
         per-node parameters."""
         energy = jnp.mean(jnp.square(input_signals), axis=-2)
+        gain = self.gain_from_energy(
+            energy,
+            log_threshold,
+            log_ratio,
+            log_knee=log_knee,
+            z_alpha_pre=z_alpha_pre,
+            z_alpha_post=z_alpha_post,
+        )
+        return gain[:, None, :] * input_signals
+
+    def gain_from_energy(
+        self,
+        energy,
+        log_threshold,
+        log_ratio,
+        log_knee=None,
+        z_alpha_pre=None,
+        z_alpha_post=None,
+    ):
+        """Linear gain time series from the ``(N, L)`` input energy.
+
+        The node's whole effect is ``y = gain(energy) * x``; exposing
+        the gain path lets the "dynamics" graph-fusion family
+        (render/fuse.py) compute one shared energy for a serial run and
+        thread gain products through members."""
         if (
             self.knee == "quadratic"
             and isinstance(self.energy_smoother_module, Ballistics)
@@ -89,7 +119,7 @@ class Compressor:
                 cf = 1.0 / ratio - 1.0
             else:
                 cf = ratio - 1.0
-            gain = ballistics_gain_core(
+            return ballistics_gain_core(
                 energy,
                 jnp.ones(energy.shape[0], dtype=energy.dtype),
                 ts[..., 0],
@@ -99,7 +129,6 @@ class Compressor:
                 jnp.exp(log_knee[..., 0]) / 2.0,
                 self._fused_kind,
             )
-            return gain[:, None, :] * input_signals
         if self.energy_smoother_module is not None:
             energy = self.energy_smoother_module(energy, z_alpha=z_alpha_pre)
         log_energy = jnp.log(energy + 1e-5)
@@ -108,16 +137,13 @@ class Compressor:
         )
         if self.gain_smoother_module is not None:
             if self.gain_smooth_in_log:
-                gain = jnp.exp(
+                return jnp.exp(
                     self.gain_smoother_module(log_gain, z_alpha=z_alpha_post)
                 )
-            else:
-                gain = self.gain_smoother_module(
-                    jnp.exp(log_gain), z_alpha=z_alpha_post
-                )
-        else:
-            gain = jnp.exp(log_gain)
-        return gain[:, None, :] * input_signals
+            return self.gain_smoother_module(
+                jnp.exp(log_gain), z_alpha=z_alpha_post
+            )
+        return jnp.exp(log_gain)
 
     # -- streaming -----------------------------------------------------
 
@@ -142,6 +168,12 @@ class Compressor:
 
     def stream_step(self, x, state, cache):
         energy = jnp.mean(jnp.square(x), axis=-2)
+        gain, state = self.gain_stream_from_energy(energy, state, cache)
+        return gain[:, None, :] * x, state
+
+    def gain_stream_from_energy(self, energy, state, cache):
+        """Streaming counterpart of :meth:`gain_from_energy`: one block
+        of ``(N, block)`` input energy -> (gain, new state)."""
         e_state, g_state = state["energy"], state["gain"]
         if self.energy_smoother_module is not None:
             energy, e_state = self.energy_smoother_module.stream(
@@ -166,7 +198,7 @@ class Compressor:
                 )
         else:
             gain = jnp.exp(log_gain)
-        return gain[:, None, :] * x, {"energy": e_state, "gain": g_state}
+        return gain, {"energy": e_state, "gain": g_state}
 
     def compute_gain(self, log_energy, log_threshold, log_ratio, log_knee):
         match self.knee:

@@ -11,6 +11,7 @@ from grafx_tpu.render.core import (
 )
 from grafx_tpu.render.fuse import (
     FusedBiquadChain,
+    FusedDynamicsChain,
     FusedFIRChain,
     fuse_parameters,
     fuse_serial_fir,
@@ -29,6 +30,7 @@ from grafx_tpu.render.streaming import StreamRenderer
 
 __all__ = [
     "FusedBiquadChain",
+    "FusedDynamicsChain",
     "FusedFIRChain",
     "RenderData",
     "StreamRenderer",

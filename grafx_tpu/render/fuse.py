@@ -279,17 +279,160 @@ class FusedBiquadChain:
         }
 
 
-_FUSED_CLASS = {"fir": FusedFIRChain, "iir": FusedBiquadChain}
+class FusedDynamicsChain:
+    """The processor behind a fused serial run of dynamics processors
+    (compressors / noise gates — the third fusion family, "dynamics").
+
+    A dynamics node's whole effect is ``y = gain(mean(x^2, ch)) * x``
+    where the gain depends only on the input's per-sample energy
+    (reference: src/grafx/processors/dynamics.py:213-721).  Because
+    ``mean((g x)^2, ch) == g^2 mean(x^2, ch)``, a serial run needs the
+    channel energy computed ONCE; each member's input energy is the
+    shared energy scaled by the squared product of the upstream gains,
+    and the signal is touched a single time at the end with the product
+    of all gains:
+
+        e      = mean(x^2, ch)
+        g_1    = gain_1(e)
+        g_2    = gain_2(g_1^2 e)          # = gain_2(mean((g_1 x)^2))
+        ...
+        y      = (g_1 g_2 ...) * x
+
+    vs the per-node render's k full-signal multiplies and k channel
+    reductions.  This is algebraically identical to the sequential
+    application (float round-off only: ``g^2 e`` vs ``mean(g^2 x^2)``).
+
+    On TPU, a pair whose members BOTH use ballistics energy smoothing
+    with quadratic knees and no gain smoothing (the common
+    gate -> compressor serving chain, e.g. BASELINE config 4) runs as
+    ONE Pallas kernel computing both data-dependent recursions in a
+    single walk over time (:func:`grafx_tpu.ops.ballistics.
+    ballistics_gain_pair_core`) — halving the serial-walk kernel count
+    per direction.  Other combinations use the composed path above.
+    """
+
+    def __init__(self, named_processors):
+        self.members = list(named_processors)
+
+    def _pair_kernel_args(self, nested_params):
+        """If the 2-member all-ballistics fast path applies, return the
+        per-member knee/recursion constants; else ``None``."""
+        from grafx_tpu.ops.ballistics import fused_gain_available
+        from grafx_tpu.processors.core.envelope import Ballistics
+
+        if len(self.members) != 2 or not fused_gain_available():
+            return None
+        consts = []
+        for name, proc in self.members:
+            if (
+                getattr(proc, "knee", None) != "quadratic"
+                or not isinstance(
+                    getattr(proc, "energy_smoother_module", None), Ballistics
+                )
+                or proc.gain_smoother is not None
+            ):
+                return None
+            import jax
+            import jax.numpy as jnp
+
+            p = nested_params[name]
+            ts = jax.nn.sigmoid(p["z_alpha_pre"])
+            ratio = 1.0 + jnp.exp(p["log_ratio"][..., 0])
+            cf = (
+                1.0 / ratio - 1.0
+                if proc._fused_kind == "compressor"
+                else ratio - 1.0
+            )
+            consts.append(
+                dict(
+                    at=ts[..., 0],
+                    rt=ts[..., 1],
+                    th=p["log_threshold"][..., 0] - 6.0,
+                    cf=cf,
+                    hk=jnp.exp(p["log_knee"][..., 0]) / 2.0,
+                    kind=proc._fused_kind,
+                )
+            )
+        return consts
+
+    def __call__(self, input_signals, **nested_params):
+        import jax.numpy as jnp
+
+        energy = jnp.mean(jnp.square(input_signals), axis=-2)
+        pair = self._pair_kernel_args(nested_params)
+        if pair is not None:
+            from grafx_tpu.ops.ballistics import ballistics_gain_pair_core
+
+            a, b = pair
+            gain = ballistics_gain_pair_core(
+                energy,
+                a["at"], a["rt"], a["th"], a["cf"], a["hk"],
+                b["at"], b["rt"], b["th"], b["cf"], b["hk"],
+                (a["kind"], b["kind"]),
+            )
+            return gain[:, None, :] * input_signals
+        gain = None
+        for name, proc in self.members:
+            e_i = energy if gain is None else jnp.square(gain) * energy
+            g_i = proc.gain_from_energy(e_i, **nested_params[name])
+            gain = g_i if gain is None else gain * g_i
+        return gain[:, None, :] * input_signals
+
+    # -- streaming -----------------------------------------------------
+
+    def stream_init(self, num_channels, block_len, **nested_params):
+        """Streaming contract: carry every member's smoother state; the
+        block step threads gain products exactly like ``__call__``'s
+        composed path (identical outputs)."""
+        states, caches = {}, {}
+        for name, proc in self.members:
+            s, c = proc.stream_init(
+                num_channels, block_len, **nested_params[name]
+            )
+            states[name] = s
+            caches[name] = c
+        return states, caches
+
+    def stream_step(self, x, state, cache):
+        import jax.numpy as jnp
+
+        energy = jnp.mean(jnp.square(x), axis=-2)
+        gain = None
+        new_state = {}
+        for name, proc in self.members:
+            e_i = energy if gain is None else jnp.square(gain) * energy
+            g_i, new_state[name] = proc.gain_stream_from_energy(
+                e_i, state[name], cache[name]
+            )
+            gain = g_i if gain is None else gain * g_i
+        return gain[:, None, :] * x, new_state
+
+    def parameter_size(self):
+        return {
+            name: proc.parameter_size() for name, proc in self.members
+        }
+
+
+_FUSED_CLASS = {
+    "fir": FusedFIRChain,
+    "iir": FusedBiquadChain,
+    "dynamics": FusedDynamicsChain,
+}
 
 
 def _lti_kind(node_type, processors):
-    """``"fir"`` / ``"iir"`` / ``None`` for a node type (see
-    :func:`grafx_tpu.processors.core.utils.lti_kind_of`)."""
+    """``"fir"`` / ``"iir"`` / ``"dynamics"`` / ``None`` for a node type
+    (see :func:`grafx_tpu.processors.core.utils.lti_kind_of`; the
+    dynamics family is marked by the ``dynamics_fusable`` attribute)."""
     from grafx_tpu.processors.core.utils import lti_kind_of
 
     if node_type in UTILITY_TYPES:
         return None
-    return lti_kind_of(processors.get(node_type))
+    proc = processors.get(node_type)
+    k = lti_kind_of(proc)
+    if k is None and getattr(proc, "dynamics_fusable", False):
+        k = "dynamics"
+    return k
 
 
 def fuse_serial_fir(G, processors, min_run=2):
@@ -299,17 +442,20 @@ def fuse_serial_fir(G, processors, min_run=2):
     return fuse_serial_lti(G, processors, min_run=min_run, kinds=("fir",))
 
 
-def fuse_serial_lti(G, processors, min_run=2, kinds=("fir", "iir")):
-    """Rewrite ``G``, folding maximal serial runs of same-kind LTI nodes.
+def fuse_serial_lti(G, processors, min_run=2, kinds=("fir", "iir", "dynamics")):
+    """Rewrite ``G``, folding maximal serial runs of same-kind fusable
+    nodes.
 
     A run is a path ``n_1 -> ... -> n_k`` where every node's processor
-    has the same LTI fusion kind (``"fir"``: implements ``fir_kernel``;
-    ``"iir"``: exact-backend biquad cascade with ``biquad_kernel``),
+    has the same fusion kind (``"fir"``: implements ``fir_kernel``;
+    ``"iir"``: exact-backend biquad cascade with ``biquad_kernel``;
+    ``"dynamics"``: compressor/gate marked ``dynamics_fusable``),
     every interior edge is the single out-edge of its source and single
     in-edge of its target, and no node is an ``in``/``out``/``mix``
     utility.  FIR runs fold into one convolution
     (:class:`FusedFIRChain`); IIR runs fold into one longer exact
-    cascade (:class:`FusedBiquadChain`).
+    cascade (:class:`FusedBiquadChain`); dynamics runs fold into a
+    shared-energy gain product (:class:`FusedDynamicsChain`).
 
     Args:
         G: a :class:`GRAFX` graph (unscheduled).

@@ -572,3 +572,110 @@ def test_fuse_rng_threading_through_fused_chain():
     y_b, _, _ = render(x, params, rng=k2)
     np.testing.assert_array_equal(np.asarray(y_a), np.asarray(y_a2))
     assert not np.allclose(np.asarray(y_a), np.asarray(y_b))
+
+
+# ---------------------------------------------------------------------------
+# Dynamics fusion family (gate -> compressor shared-energy gain product)
+# ---------------------------------------------------------------------------
+
+
+def _dyn_graph(gate_smoother, comp_smoother, num_chains=3):
+    from grafx_tpu.processors import NoiseGate
+
+    procs = {
+        "gate": NoiseGate(energy_smoother=gate_smoother),
+        "comp": Compressor(energy_smoother=comp_smoother),
+    }
+    G = GRAFX(config=NodeConfigs(sorted(procs)))
+    ends = []
+    for _ in range(num_chains):
+        _, last = G.add_serial_chain(["in", "gate", "comp"])
+        ends.append(last)
+    mix = G.add("mix")
+    [G.connect(e, mix) for e in ends]
+    G.connect(mix, G.add("out"))
+    return G, procs
+
+
+def test_fuse_dynamics_pair_matches_and_grads():
+    """gate -> compressor runs fold into ONE dynamics node whose render
+    and parameter gradients match the per-node graph to round-off
+    (composed path on CPU; the TPU pair kernel is gated by the
+    interpret-mode tests in tests/ops/test_ballistics_pallas.py and
+    benchmarks/verify_ballistics_tpu.py on-chip)."""
+    from grafx_tpu.render import fuse_serial_lti
+
+    G, procs = _dyn_graph("ballistics", "ballistics")
+    G2, procs2 = fuse_serial_lti(G, procs)
+    fused_types = [t for t in procs2 if t.startswith("fused(")]
+    assert fused_types == ["fused(gate+comp)"]
+    assert G2.number_of_nodes() == G.number_of_nodes() - 3
+
+    params = create_empty_parameters(procs, G, key=jax.random.PRNGKey(4))
+    # push thresholds into the active range so knees/recursions engage
+    params["gate"]["log_threshold"] = params["gate"]["log_threshold"] - 2.0
+    params["comp"]["log_threshold"] = params["comp"]["log_threshold"] - 1.0
+    x = jax.random.normal(jax.random.PRNGKey(5), (3, 2, 2**12))
+
+    y_ref, _ = _render(G, procs, params, x)
+    fused_params = _fused_params_from(params, G2, procs2)
+    y_fused, _ = _render(G2, procs2, fused_params, x)
+    scale = np.abs(y_ref).max() + 1e-9
+    assert np.abs(y_fused - y_ref).max() / scale < 1e-5
+
+    # gradient parity, member by member
+    def make_loss(G_, procs_):
+        G_t = reorder_for_fast_render(convert_to_tensor(G_), method="beam")
+        plan = prepare_render(G_t)
+        render = make_render_fn(procs_, plan, jit=False)
+        return lambda p: jnp.sum(jnp.square(render(x, p)[0]))
+
+    g_ref = jax.grad(make_loss(G, procs))(params)
+    g_fused = jax.grad(make_loss(G2, procs2))(fused_params)
+    for member, orig in [("0_gate", "gate"), ("1_comp", "comp")]:
+        for k in g_ref[orig]:
+            np.testing.assert_allclose(
+                np.asarray(g_fused["fused(gate+comp)"][member][k]),
+                np.asarray(g_ref[orig][k]),
+                rtol=2e-4, atol=1e-5,
+                err_msg=f"{member}.{k}",
+            )
+
+
+def test_fuse_dynamics_mixed_smoothers_matches():
+    """iir_exact gate -> ballistics compressor (the headline console's
+    combination) fuses on the composed path with identical output."""
+    from grafx_tpu.render import fuse_serial_lti
+
+    G, procs = _dyn_graph("iir_exact", "ballistics", num_chains=2)
+    G2, procs2 = fuse_serial_lti(G, procs)
+    assert any(t.startswith("fused(") for t in procs2)
+
+    params = create_empty_parameters(procs, G, key=jax.random.PRNGKey(6))
+    params["gate"]["log_threshold"] = params["gate"]["log_threshold"] - 2.0
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 2, 2**12))
+    y_ref, _ = _render(G, procs, params, x)
+    y_fused, _ = _render(G2, procs2, _fused_params_from(params, G2, procs2), x)
+    scale = np.abs(y_ref).max() + 1e-9
+    assert np.abs(y_fused - y_ref).max() / scale < 1e-5
+
+
+def test_fuse_dynamics_does_not_join_lti_runs():
+    """A gain -> gate -> comp chain: the LTI gain must NOT join the
+    dynamics run (different kind), and vice versa."""
+    from grafx_tpu.processors import NoiseGate
+    from grafx_tpu.render import fuse_serial_lti
+
+    procs = {
+        "gain": StereoGain(),
+        "gate": NoiseGate(energy_smoother="ballistics"),
+        "comp": Compressor(energy_smoother="ballistics"),
+    }
+    G = GRAFX(config=NodeConfigs(sorted(procs)))
+    G.add_serial_chain(["in", "gain", "gate", "comp", "out"])
+    G2, procs2 = fuse_serial_lti(G, procs)
+    fused_types = sorted(t for t in procs2 if t.startswith("fused("))
+    assert fused_types == ["fused(gate+comp)"]
+    # the lone gain neither fuses nor disappears
+    types2 = [G2.nodes[n]["node_type"] for n in G2.nodes]
+    assert "gain" in types2
