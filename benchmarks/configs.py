@@ -126,7 +126,13 @@ def config3():
 
 
 def config4():
-    """Dynamics graph: compressor + noisegate, ballistics smoothing."""
+    """Dynamics graph: compressor + noisegate, ballistics smoothing.
+
+    ``CONFIGS_FUSE=1`` applies dynamics fusion: each gate -> comp pair
+    folds into one shared-energy node whose gains come from ONE Pallas
+    pair walk (ballistics_gain_pair_core) instead of two kernels."""
+    import os
+
     procs = {
         "comp": Compressor(energy_smoother="ballistics"),
         "gate": NoiseGate(energy_smoother="ballistics"),
@@ -140,6 +146,10 @@ def config4():
     [G.connect(e, mix) for e in ends]
     out = G.add("out")
     G.connect(mix, out)
+    if os.environ.get("CONFIGS_FUSE") == "1":
+        from grafx_tpu.render import fuse_serial_lti
+
+        G, procs = fuse_serial_lti(G, procs)
     return _measure(G, procs, 8, 2**17)
 
 

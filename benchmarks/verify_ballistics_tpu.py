@@ -160,6 +160,142 @@ def run_fused_gain_case(N, L, seed, kind):
         assert v < 5e-3, f"fused {kind} {k} rel err {v} (N={N}, L={L})"
 
 
+def run_pair_case(N, L, seed):
+    """ballistics_gain_pair_core (one fused walk) vs the composed
+    two-stage scan reference, values and all 11 gradients, on-device."""
+    from grafx_tpu.ops.ballistics import (
+        _forward_scan,
+        ballistics_gain_pair_core,
+    )
+
+    rng = np.random.RandomState(seed)
+    u = jnp.asarray(np.abs(rng.randn(N, L)).astype(np.float32))
+    w = jnp.asarray(rng.randn(N, L).astype(np.float32))
+
+    def consts(kind, off):
+        at = jnp.asarray(rng.uniform(0.05, 0.9, N).astype(np.float32))
+        rt = jnp.asarray(rng.uniform(0.001, 0.3, N).astype(np.float32))
+        th = jnp.asarray(rng.uniform(-3.0, 0.0, N).astype(np.float32))
+        cf = jnp.asarray(
+            rng.uniform(-0.9, -0.2, N).astype(np.float32)
+            if kind == "compressor"
+            else rng.uniform(0.5, 3.0, N).astype(np.float32)
+        )
+        hk = jnp.asarray(rng.uniform(0.1, 1.0, N).astype(np.float32))
+        return at, rt, th, cf, hk
+
+    kinds = ("noisegate", "compressor")
+    ca = consts(kinds[0], 0)
+    cb = consts(kinds[1], 5)
+
+    def stage(u, at, rt, th, cf, hk, kind):
+        y = _forward_scan(u, jnp.ones(N, u.dtype), at, rt)
+        x = jnp.log(y + 1e-5) - th[:, None]
+        hk_ = hk[:, None]
+        if kind == "compressor":
+            mid = jnp.square(x + hk_) / (4.0 * hk_)
+            f = jnp.where(x > hk_, x, jnp.where(x < -hk_, 0.0, mid))
+        else:
+            mid = -jnp.square(x - hk_) / (4.0 * hk_)
+            f = jnp.where(x < -hk_, x, jnp.where(x > hk_, 0.0, mid))
+        return jnp.exp(cf[:, None] * f)
+
+    def composed(u, *c):
+        ga = stage(u, *c[:5], kinds[0])
+        gb = stage(ga * ga * u, *c[5:], kinds[1])
+        return ga * gb
+
+    args = (u,) + ca + cb
+
+    def loss_pair(*a):
+        return jnp.sum(ballistics_gain_pair_core(*a, kinds) * w)
+
+    def loss_ref(*a):
+        return jnp.sum(composed(*a) * w)
+
+    v_f = jax.jit(lambda *a: ballistics_gain_pair_core(*a, kinds))(*args)
+    g_f = jax.jit(jax.grad(loss_pair, argnums=tuple(range(11))))(*args)
+    v_r = jax.jit(composed)(*args)
+    g_r = jax.jit(jax.grad(loss_ref, argnums=tuple(range(11))))(*args)
+    jax.block_until_ready((v_f, g_f, v_r, g_r))
+
+    def rel(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return np.abs(a - b).max() / (np.abs(b).max() + 1e-30)
+
+    names = ["du", "dat_a", "drt_a", "dth_a", "dcf_a", "dhk_a",
+             "dat_b", "drt_b", "dth_b", "dcf_b", "dhk_b"]
+    errs = {"gain": rel(v_f, v_r)}
+    for n, a, b in zip(names, g_f, g_r):
+        errs[n] = rel(a, b)
+    print(
+        f"pair  N={N:3d} L={L:7d}  "
+        + "  ".join(f"{k}={v:.1e}" for k, v in errs.items())
+    )
+    for k, v in errs.items():
+        assert v < 5e-3, f"pair {k} rel err {v} (N={N}, L={L})"
+
+
+def microbench_pair(N, L, iters=30):
+    """Pair kernel vs two back-to-back fused-gain kernels, grad step."""
+    from grafx_tpu.ops.ballistics import (
+        ballistics_gain_core,
+        ballistics_gain_pair_core,
+    )
+
+    rng = np.random.RandomState(0)
+    u = jnp.asarray(np.abs(rng.randn(N, L)).astype(np.float32))
+    w = jnp.asarray(rng.randn(N, L).astype(np.float32))
+    kinds = ("noisegate", "compressor")
+    ones = jnp.ones((N,), jnp.float32)
+    at_a = jnp.full((N,), 0.3, jnp.float32)
+    rt_a = jnp.full((N,), 0.01, jnp.float32)
+    th_a = jnp.full((N,), -2.0, jnp.float32)
+    cf_a = jnp.full((N,), 1.5, jnp.float32)
+    hk_a = jnp.full((N,), 0.5, jnp.float32)
+    at_b, rt_b = at_a, rt_a
+    th_b = jnp.full((N,), -1.0, jnp.float32)
+    cf_b = jnp.full((N,), -0.5, jnp.float32)
+    hk_b = hk_a
+
+    @jax.jit
+    def pair(s, u):
+        return jax.grad(
+            lambda u_: jnp.sum(
+                ballistics_gain_pair_core(
+                    u_, at_a, rt_a, th_a, cf_a, hk_a,
+                    at_b, rt_b, th_b, cf_b, hk_b, kinds,
+                ) * w
+            )
+        )(u * s)
+
+    @jax.jit
+    def two_stage(s, u):
+        def f(u_):
+            ga = ballistics_gain_core(
+                u_, ones, at_a, rt_a, th_a, cf_a, hk_a, kinds[0]
+            )
+            gb = ballistics_gain_core(
+                ga * ga * u_, ones, at_b, rt_b, th_b, cf_b, hk_b, kinds[1]
+            )
+            return jnp.sum(ga * gb * w)
+
+        return jax.grad(f)(u * s)
+
+    for name, fn in [("pair fwd+bwd", pair), ("2-stage fwd+bwd", two_stage)]:
+        scales = [jnp.float32(1.0 + i * 1e-6) for i in range(iters + 1)]
+        jax.block_until_ready(fn(scales[0], u))
+        t0 = time.time()
+        for s in scales[1:]:
+            out = fn(s, u)
+        jax.block_until_ready(out)
+        dt = (time.time() - t0) / iters
+        print(
+            f"  {name:16s} N={N:4d} L={L}: {dt * 1e3:7.3f} ms"
+            f"  ({dt / L * 1e9:6.2f} ns/sample)"
+        )
+
+
 if __name__ == "__main__":
     print("backend:", jax.default_backend())
     print("-- parity (pallas vs scan, on-device) --")
@@ -170,6 +306,12 @@ if __name__ == "__main__":
     print("-- fused gain (pallas vs composed scan+knee, on-device) --")
     run_fused_gain_case(17, 2**17, 5, "compressor")
     run_fused_gain_case(68, 2**17, 6, "noisegate")
+    print("-- fused pair (pallas vs composed two-stage scan, on-device) --")
+    run_pair_case(17, 2**17, 7)
+    run_pair_case(68, 2**17, 8)
+    print("-- pair vs two-stage microbenchmark --")
+    for N in (8, 17, 68):
+        microbench_pair(N, 2**17)
     print("-- microbenchmark (pallas) --")
     for N in (17, 68):
         microbench(N, 2**17)

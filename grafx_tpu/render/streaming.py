@@ -161,13 +161,32 @@ class StreamRenderer:
                     params_i = {**params_i, "drywet_weight": common_i}
             if hasattr(proc, "stream_init"):
                 if len(stage.source_reads) > 1:
-                    raise NotImplementedError(
-                        f"stage {i} ({node_type!r}) has"
-                        f" {len(stage.source_reads)} inlets; the streaming"
-                        " contract currently covers single-input stateful"
-                        " processors (multi-inlet stages stream only as"
-                        " memoryless __call__ processors)."
+                    # Multi-inlet stateful stages stream when the
+                    # processor's stream_step accepts one positional
+                    # signal per inlet (plus state and cache) — the
+                    # step below already passes *stage_inputs.  Note a
+                    # fan-IN (many edges into one inlet) aggregates
+                    # before the processor and needs nothing special;
+                    # this is for genuinely MIMO nodes (sidechains,
+                    # crossovers).
+                    n_pos = sum(
+                        p.kind
+                        in (
+                            inspect.Parameter.POSITIONAL_ONLY,
+                            inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                        )
+                        for p in inspect.signature(
+                            proc.stream_step
+                        ).parameters.values()
                     )
+                    if n_pos != len(stage.source_reads) + 2:
+                        raise NotImplementedError(
+                            f"stage {i} ({node_type!r}) has"
+                            f" {len(stage.source_reads)} inlets but its"
+                            f" stream_step takes {n_pos} positional args;"
+                            " a multi-inlet stateful processor must"
+                            " accept (sig_1, ..., sig_k, state, cache)."
+                        )
                 kwargs = dict(params_i)
                 if rng is not None and "noise_key" in inspect.signature(
                     proc.stream_init

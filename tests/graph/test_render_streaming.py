@@ -184,3 +184,105 @@ def test_stream_fused_iir_graph():
     G2, procs2 = fuse_serial_lti(G, procs)
     assert any(t.startswith("fused(") for t in procs2)
     _stream_vs_full(G2, procs2, 2, 2**13, 1024, seed=11)
+
+
+def test_stream_stateful_stage_behind_fanin():
+    """A stateful bus (ballistics compressor) fed by a mix fan-in of
+    several chains — the realistic serving-console topology (VERDICT r3
+    #7) — must stream to one-shot parity."""
+    procs = {
+        "eq": ParametricEqualizer(num_filters=4, backend="exact"),
+        "comp": Compressor(energy_smoother="ballistics"),
+    }
+    G = GRAFX(config=NodeConfigs(sorted(procs)))
+    ends = []
+    for _ in range(3):
+        _, last = G.add_serial_chain(["in", "eq"])
+        ends.append(last)
+    mix = G.add("mix")
+    [G.connect(e, mix) for e in ends]
+    bus = G.add("comp")  # stateful node directly behind the fan-in
+    G.connect(mix, bus)
+    G.connect(bus, G.add("out"))
+    _stream_vs_full(G, procs, 3, 8192, 1024, rtol=5e-4)
+
+
+class _SidechainDucker:
+    """Two-inlet stateful test processor: the KEY input's ballistics-
+    smoothed energy ducks the MAIN input.  Exercises the multi-inlet
+    streaming contract (stream_step(main, key, state, cache))."""
+
+    def __init__(self):
+        from grafx_tpu.processors.core.envelope import Ballistics
+
+        self.smoother = Ballistics()
+
+    def __call__(self, main, key, z_alpha, log_depth):
+        e = jnp.mean(jnp.square(key), axis=-2)
+        env = self.smoother(e, z_alpha=z_alpha)
+        gain = jnp.exp(-jnp.exp(log_depth) * env)
+        return gain[:, None, :] * main
+
+    def parameter_size(self):
+        return {"z_alpha": 2, "log_depth": 1}
+
+    def stream_init(self, num_channels, block_len, z_alpha, log_depth):
+        del num_channels, block_len
+        state = self.smoother.stream_zero_state(z_alpha.shape[0])
+        return state, {"z_alpha": z_alpha, "log_depth": log_depth}
+
+    def stream_step(self, main, key, state, cache):
+        e = jnp.mean(jnp.square(key), axis=-2)
+        env, state = self.smoother.stream(e, state, z_alpha=cache["z_alpha"])
+        gain = jnp.exp(-jnp.exp(cache["log_depth"]) * env)
+        return gain[:, None, :] * main, state
+
+
+def test_stream_multi_inlet_stateful():
+    """A genuinely MIMO stateful node (sidechain ducker) streams when
+    its stream_step takes one positional signal per inlet."""
+    procs = {
+        "duck": _SidechainDucker(),
+        "eq": ParametricEqualizer(num_filters=4, backend="exact"),
+    }
+    config = NodeConfigs(
+        {
+            "duck": {"inlets": ["main", "key"], "outlets": ["main"]},
+            "eq": {"inlets": ["main"], "outlets": ["main"]},
+        }
+    )
+    G = GRAFX(config=config)
+    src_a = G.add("in")
+    src_b = G.add("in")
+    eq = G.add("eq")
+    G.connect(src_a, eq)
+    duck = G.add("duck")
+    G.connect(eq, duck, inlet="main")
+    G.connect(src_b, duck, inlet="key")
+    G.connect(duck, G.add("out"))
+    _stream_vs_full(G, procs, 2, 8192, 1024, rtol=5e-4)
+
+
+def test_stream_multi_inlet_stateful_bad_signature_raises():
+    """A stateful processor whose stream_step does NOT accept one
+    signal per inlet gets a clear error, not silent wrong audio."""
+
+    class BadDucker(_SidechainDucker):
+        def stream_step(self, main, state, cache):  # missing `key`
+            return main, state
+
+    procs = {"duck": BadDucker()}
+    config = NodeConfigs(
+        {"duck": {"inlets": ["main", "key"], "outlets": ["main"]}}
+    )
+    G = GRAFX(config=config)
+    a, b = G.add("in"), G.add("in")
+    duck = G.add("duck")
+    G.connect(a, duck, inlet="main")
+    G.connect(b, duck, inlet="key")
+    G.connect(duck, G.add("out"))
+    G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
+    plan = prepare_render(G_t)
+    params = create_empty_parameters(procs, G, key=jax.random.PRNGKey(0))
+    with pytest.raises(NotImplementedError, match="positional args"):
+        StreamRenderer(procs, plan, params, block_len=512)
