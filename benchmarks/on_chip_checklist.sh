@@ -14,10 +14,10 @@ run() {  # run NAME -- CMD...
   tail -1 "$OUT/$name.log"
 }
 # A/B arms test the ALTERNATES against the shipped defaults
-# (defaults: TOEPLITZ_BUILD=gather, POWERS=scan, CASCADE_COMPOSE=fft).
+# (defaults: TOEPLITZ_BUILD=reshape, POWERS=scan, CASCADE_COMPOSE=fft).
 # For a variance-aware interleaved matrix use benchmarks/ab_matrix.py.
 run bench_default    -- python bench.py
-run bench_toep_reshape -- env GRAFX_TPU_TOEPLITZ_BUILD=reshape python bench.py
+run bench_toep_gather -- env GRAFX_TPU_TOEPLITZ_BUILD=gather python bench.py
 run bench_powers_doubling -- env GRAFX_TPU_POWERS=doubling python bench.py
 run bench_batch16 -- env BENCH_BATCH=16 python bench.py
 run bench_fused -- env BENCH_FUSE=1 python bench.py

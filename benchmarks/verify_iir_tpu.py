@@ -92,9 +92,9 @@ def main():
         sys.stdout.flush()
         assert e <= -60.0, f"{name}: {e:.1f} dB misses the -60 dB contract"
 
-    # Build-formulation equivalence ON THIS DEVICE: the default
-    # gather Toeplitz and associative-scan power builds (defaults —
-    # the forms the r3 on-chip A/B picked) vs the reshape / doubling
+    # Build-formulation equivalence ON THIS DEVICE: the shipped
+    # defaults (reshape Toeplitz + associative-scan powers — the forms
+    # the r4 interleaved A/B picked) vs the gather / doubling
     # alternates kept behind the env flags
     # (GRAFX_TPU_TOEPLITZ_BUILD / GRAFX_TPU_POWERS).  CPU asserts
     # bitwise (Toeplitz) / error-class (powers) equality; this repeats
@@ -112,7 +112,7 @@ def main():
         iir_mod._POWERS_BUILD,
         iir_mod._CASCADE_COMPOSE,
     )
-    iir_mod._TOEPLITZ_BUILD = "reshape"
+    iir_mod._TOEPLITZ_BUILD = "gather"
     iir_mod._POWERS_BUILD = "doubling"
     iir_mod._CASCADE_COMPOSE = "fft"
     jax.clear_caches()
@@ -141,7 +141,7 @@ def main():
     # broken formulation shows up ~-30 dB (the bf16-MXU class), far
     # from this gate.
     print(
-        f"build-formulation (gather/scan/fft defaults vs reshape/doubling"
+        f"build-formulation (reshape/scan/fft defaults vs gather/doubling"
         f" alternates): mutual {e:7.1f} dB (target <= -80);"
         f" vs f64 oracle: default {e_new:6.1f} dB, alternate {e_old:6.1f} dB"
     )

@@ -783,10 +783,14 @@ def _cascade_kernels_doubling(b, a, T):
     return H_cas, W[:, :S], V[:, :S], A_blk[:, :S, :S]
 
 
-# On-chip A/B (r3, outputs/postoutage): gather 18.0 ms vs reshape 19.4 ms
-# at the batch-4 headline — XLA:TPU lowers this gather (and its scatter
-# adjoint) better than the tile+reshape form, so gather is the default.
-_TOEPLITZ_BUILD = _os.environ.get("GRAFX_TPU_TOEPLITZ_BUILD", "gather")
+# On-chip A/B history: r3's single-run logs said gather 18.0 ms vs
+# reshape 19.4 ms, but the r4 variance-aware matrix (3 interleaved
+# rounds x 5 windows, benchmarks/ab_matrix.py; BASELINE.md "Adjudicated
+# on-chip A/B") reversed it: reshape 21.7/21.9/21.9 ms run-medians vs
+# gather 21.8/22.4/22.9 — reshape is ~0.5 ms faster AND tighter, so
+# reshape (contiguous copies; reshape/pad adjoint, no scatter) is the
+# default.  The r3 numbers were single runs inside ~1.5 ms tunnel noise.
+_TOEPLITZ_BUILD = _os.environ.get("GRAFX_TPU_TOEPLITZ_BUILD", "reshape")
 # Cascade-operator composition: "fft" truncated convs (default) or
 # "toeplitz" MXU matmuls.  The Toeplitz form is slightly more accurate
 # and mirrors the ZSR trade that won on-chip in round 2, but measured
@@ -814,13 +818,14 @@ def _causal_toeplitz(h):
     length T=128 that is ~15x fewer FLOPs than the radix/matmul FFTs XLA
     emits on TPU, in exactly the MXU's favorite shape.
 
-    Default construction is the clip+where gather (measured faster on
-    TPU — see the A/B note at ``_TOEPLITZ_BUILD``; the feared
-    serializing-scatter adjoint did not materialize as a bottleneck).
-    ``GRAFX_TPU_TOEPLITZ_BUILD=reshape`` selects the pad+tile+reshape
-    trick (row ``q`` of the ``2T``-periodic tiling of ``[h, 0]`` at
-    stride ``2T - 1`` is ``[h, 0]`` rolled by ``q``): contiguous copies
-    only, so both the build and its adjoint lower to reshapes/pads."""
+    Default construction is the pad+tile+reshape trick (row ``q`` of
+    the ``2T``-periodic tiling of ``[h, 0]`` at stride ``2T - 1`` is
+    ``[h, 0]`` rolled by ``q``): contiguous copies only, so both the
+    build and its adjoint lower to reshapes/pads — measured faster and
+    tighter than the gather under the r4 interleaved A/B (see the note
+    at ``_TOEPLITZ_BUILD``).  ``GRAFX_TPU_TOEPLITZ_BUILD=gather``
+    selects the clip+where gather construction (whose adjoint is a
+    scatter)."""
     N, T = h.shape
     if _TOEPLITZ_BUILD == "reshape":
         z = jnp.concatenate([h, jnp.zeros_like(h)], axis=-1)  # (N, 2T)

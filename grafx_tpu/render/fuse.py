@@ -442,7 +442,13 @@ def fuse_serial_fir(G, processors, min_run=2):
     return fuse_serial_lti(G, processors, min_run=min_run, kinds=("fir",))
 
 
-def fuse_serial_lti(G, processors, min_run=2, kinds=("fir", "iir", "dynamics")):
+def fuse_serial_lti(
+    G,
+    processors,
+    min_run=2,
+    kinds=("fir", "iir", "dynamics"),
+    dynamics_partial=False,
+):
     """Rewrite ``G``, folding maximal serial runs of same-kind fusable
     nodes.
 
@@ -462,6 +468,11 @@ def fuse_serial_lti(G, processors, min_run=2, kinds=("fir", "iir", "dynamics")):
         processors: node-type -> processor dict.
         min_run: minimum run length to fold (default 2).
         kinds: which fusion families to apply.
+        dynamics_partial: by default dynamics runs fuse only when EVERY
+            node of the member types sits in a run (partial fusion
+            splits the type's serial-walk stage and adds a whole walk
+            per direction — measured slower); pass ``True`` to fuse
+            partial coverage anyway.
 
     Returns:
         ``(G_fused, processors_fused)`` — a NEW graph over a config
@@ -507,6 +518,38 @@ def fuse_serial_lti(G, processors, min_run=2, kinds=("fir", "iir", "dynamics")):
         if len(run) >= min_run:
             runs.append((k, run))
             in_run.update(run)
+
+    if not dynamics_partial:
+        # Dynamics-coverage guard: fusing SOME of a type's nodes moves
+        # them to a composite type, splitting the type's render stage —
+        # and a ballistics stage is a serial walk whose cost is
+        # row-count-independent, so a split ADDS a whole walk per
+        # direction (measured +3.3 ms on the headline console where
+        # only 6/17 chains have a gate; BASELINE.md r4).  Keep dynamics
+        # runs only when every node of every member type is inside a
+        # run, i.e. fusion removes stages instead of splitting them.
+        total = {}
+        for n in G.nodes:
+            t = G.nodes[n]["node_type"]
+            total[t] = total.get(t, 0) + 1
+        covered = {}
+        for k, run in runs:
+            if k != "dynamics":
+                continue
+            for n in run:
+                t = G.nodes[n]["node_type"]
+                covered[t] = covered.get(t, 0) + 1
+        kept = []
+        for k, run in runs:
+            if k == "dynamics" and any(
+                covered.get(G.nodes[n]["node_type"], 0)
+                < total[G.nodes[n]["node_type"]]
+                for n in run
+            ):
+                in_run.difference_update(run)
+                continue
+            kept.append((k, run))
+        runs = kept
 
     if not runs:
         return G, dict(processors)
