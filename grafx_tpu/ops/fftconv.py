@@ -324,11 +324,22 @@ def conv_stream_init(h, num_channels, block_len):
     *frequency-domain delay line* — the last ``m - 1`` segment spectra —
     so every per-block transform stays at the fast ``2^14`` FFT length
     regardless of ``L_h`` (the classic real-time partitioned
-    convolution, matching :func:`fft_convolve_upols`)."""
+    convolution, matching :func:`fft_convolve_upols`).
+
+    ``GRAFX_TPU_STREAM_CONV`` = ``auto`` (default) / ``tail`` /
+    ``upols`` forces the state representation for A/B measurement."""
+    import os
+
     B, C_h, Lh = h.shape
     C_bc = max(num_channels, C_h)
     part = min(_UPOLS_PART, next_pow2(block_len))
-    if Lh > 2 * part and block_len % part == 0:
+    mode = os.environ.get("GRAFX_TPU_STREAM_CONV", "auto")
+    want_upols = (
+        Lh > 2 * part and block_len % part == 0
+        if mode == "auto"
+        else mode == "upols" and block_len % part == 0 and Lh > part
+    )
+    if want_upols:
         Cp = part
         nfft = 2 * Cp
         m = -(-Lh // Cp)
@@ -338,7 +349,16 @@ def conv_stream_init(h, num_channels, block_len):
             "X": jnp.zeros((B, C_bc, m - 1, nfft // 2 + 1), jnp.complex64),
             "xtail": jnp.zeros((B, C_bc, Cp), h.dtype),
         }
-        return state, {"kind": "upols", "H": H, "part": Cp}
+        # X[..., i, :] holds X_{k-1-(m-2-i)}, pairing with H_{m-1-i}: store
+        # H_1..H_{m-1} pre-reversed so the step is one elementwise
+        # multiply + sum over the segment axis instead of an m-term loop.
+        cache = {
+            "kind": "upols",
+            "H0": H[..., 0, :],
+            "Hrev": H[..., 1:, :][..., ::-1, :],
+            "part": Cp,
+        }
+        return state, cache
     return (
         conv_stream_zero_tail((B, C_bc), Lh, h.dtype),
         {"kind": "tail", "h": h},
@@ -350,10 +370,10 @@ def conv_stream_apply(x, state, cache):
     :func:`conv_stream_init`; returns ``(y_block, new_state)``."""
     if cache["kind"] == "tail":
         return fft_convolve_stream(x, cache["h"], state)
-    H = cache["H"]  # (B, C_h, m, F)
+    H0 = cache["H0"]  # (B, C_h, F)
+    Hrev = cache["Hrev"]  # (B, C_h, m-1, F), H_{m-1}..H_1
     Cp = int(cache["part"])
     nfft = 2 * Cp
-    m = H.shape[-2]
     X = state["X"]
     xtail = state["xtail"]
     lead = X.shape[:2]
@@ -363,10 +383,8 @@ def conv_stream_apply(x, state, cache):
         xs = xb[..., s * Cp : (s + 1) * Cp]
         window = jnp.concatenate([xtail, xs], axis=-1)  # x[kC-C : kC+C]
         Xk = jnp.fft.rfft(window, n=nfft)  # (B, C, F)
-        # Y_k = sum_j X_{k-j} H_j ; X[..., i, :] holds X_{k-1-(m-2-i)}
-        Y = Xk * H[..., 0, :]
-        for j in range(1, m):
-            Y = Y + X[..., m - 1 - j, :] * H[..., j, :]
+        # Y_k = sum_j X_{k-j} H_j, one fused reduction over segments
+        Y = Xk * H0 + jnp.sum(X * Hrev, axis=-2)
         outs.append(jnp.fft.irfft(Y, n=nfft)[..., Cp:])
         X = jnp.concatenate([X[..., 1:, :], Xk[..., None, :]], axis=-2)
         xtail = xs
