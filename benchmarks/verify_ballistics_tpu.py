@@ -160,9 +160,14 @@ def run_fused_gain_case(N, L, seed, kind):
         assert v < 5e-3, f"fused {kind} {k} rel err {v} (N={N}, L={L})"
 
 
-def run_pair_case(N, L, seed):
+def run_pair_case(N, L, seed, onepole_a=False):
     """ballistics_gain_pair_core (one fused walk) vs the composed
-    two-stage scan reference, values and all 11 gradients, on-device."""
+    two-stage scan reference, values and all 11 gradients, on-device.
+
+    ``onepole_a=True`` exercises the inits=(0.0, 1.0) variant: stage A
+    becomes the exact one-pole special case (``at == rt == 1 - alpha``,
+    zero initial state) that a ``NoiseGate(energy_smoother="iir_exact")``
+    member maps onto in render/fuse.py's dynamics family."""
     from grafx_tpu.ops.ballistics import (
         _forward_scan,
         ballistics_gain_pair_core,
@@ -187,9 +192,14 @@ def run_pair_case(N, L, seed):
     kinds = ("noisegate", "compressor")
     ca = consts(kinds[0], 0)
     cb = consts(kinds[1], 5)
+    inits = (1.0, 1.0)
+    if onepole_a:
+        oma = jnp.asarray(rng.uniform(0.02, 0.5, N).astype(np.float32))
+        ca = (oma, oma) + ca[2:]
+        inits = (0.0, 1.0)
 
-    def stage(u, at, rt, th, cf, hk, kind):
-        y = _forward_scan(u, jnp.ones(N, u.dtype), at, rt)
+    def stage(u, at, rt, th, cf, hk, kind, init):
+        y = _forward_scan(u, jnp.full(N, init, u.dtype), at, rt)
         x = jnp.log(y + 1e-5) - th[:, None]
         hk_ = hk[:, None]
         if kind == "compressor":
@@ -201,19 +211,19 @@ def run_pair_case(N, L, seed):
         return jnp.exp(cf[:, None] * f)
 
     def composed(u, *c):
-        ga = stage(u, *c[:5], kinds[0])
-        gb = stage(ga * ga * u, *c[5:], kinds[1])
+        ga = stage(u, *c[:5], kinds[0], inits[0])
+        gb = stage(ga * ga * u, *c[5:], kinds[1], inits[1])
         return ga * gb
 
     args = (u,) + ca + cb
 
     def loss_pair(*a):
-        return jnp.sum(ballistics_gain_pair_core(*a, kinds) * w)
+        return jnp.sum(ballistics_gain_pair_core(*a, kinds, inits) * w)
 
     def loss_ref(*a):
         return jnp.sum(composed(*a) * w)
 
-    v_f = jax.jit(lambda *a: ballistics_gain_pair_core(*a, kinds))(*args)
+    v_f = jax.jit(lambda *a: ballistics_gain_pair_core(*a, kinds, inits))(*args)
     g_f = jax.jit(jax.grad(loss_pair, argnums=tuple(range(11))))(*args)
     v_r = jax.jit(composed)(*args)
     g_r = jax.jit(jax.grad(loss_ref, argnums=tuple(range(11))))(*args)
@@ -228,12 +238,33 @@ def run_pair_case(N, L, seed):
     errs = {"gain": rel(v_f, v_r)}
     for n, a, b in zip(names, g_f, g_r):
         errs[n] = rel(a, b)
+    def rel_l2(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-30)
+
+    tag = "pair1p" if onepole_a else "pair  "
     print(
-        f"pair  N={N:3d} L={L:7d}  "
+        f"{tag} N={N:3d} L={L:7d}  "
         + "  ".join(f"{k}={v:.1e}" for k, v in errs.items())
+        + f"  du_l2={rel_l2(g_f[0], g_r[0]):.1e}"
     )
     for k, v in errs.items():
-        assert v < 5e-3, f"pair {k} rel err {v} (N={N}, L={L})"
+        if onepole_a and k == "du":
+            # The zero-init one-pole gate drives the early envelope into
+            # the steep region of log(v + 1e-5), so isolated knee/branch
+            # decisions flip between any two f32 evaluation orders and
+            # the POINTWISE du disagrees O(1e-2) at ~70 of 2.2M samples.
+            # benchmarks/diag_pair_onepole.py shows BOTH f32 forms sit
+            # ~8e-2 maxrel from the f64 oracle at the same flip samples
+            # (the kernel marginally closer: relL2 1.88e-3 vs 1.905e-3),
+            # i.e. this is composition conditioning, not kernel error —
+            # so du gates on relative L2 (observed 3.2e-4) + a loose
+            # pointwise bound.
+            assert v < 5e-2, f"pair1p du maxrel {v} (N={N}, L={L})"
+            l2 = rel_l2(g_f[0], g_r[0])
+            assert l2 < 2e-3, f"pair1p du rel-L2 {l2} (N={N}, L={L})"
+        else:
+            assert v < 5e-3, f"pair {k} rel err {v} (N={N}, L={L})"
 
 
 def microbench_pair(N, L, iters=30):
@@ -309,6 +340,7 @@ if __name__ == "__main__":
     print("-- fused pair (pallas vs composed two-stage scan, on-device) --")
     run_pair_case(17, 2**17, 7)
     run_pair_case(68, 2**17, 8)
+    run_pair_case(17, 2**17, 9, onepole_a=True)  # iir_exact-gate mapping
     print("-- pair vs two-stage microbenchmark --")
     for N in (8, 17, 68):
         microbench_pair(N, 2**17)

@@ -292,18 +292,19 @@ ballistics_gain_core.defvjp(_gain_fwd, _gain_bwd)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
 def ballistics_gain_pair_core(
     u,
     at_a, rt_a, th_a, cf_a, hk_a,
     at_b, rt_b, th_b, cf_b, hk_b,
     kinds=("noisegate", "compressor"),
+    inits=(1.0, 1.0),
 ):
     """Two chained ballistics+quadratic-knee gain stages in ONE walk.
 
     Computes ``gain = g_a * g_b`` where ``g_a`` is the first stage's
     fused smoother+knee gain on the input energy ``u`` (initial state
-    1.0), and ``g_b`` the second stage's gain on the gated energy
+    ``inits[0]``), and ``g_b`` the second stage's gain on the gated energy
     ``g_a^2 * u`` — i.e. exactly the composition of two
     :func:`ballistics_gain_core` stages with the intermediate signal
     eliminated.  Used by the "dynamics" graph-fusion family
@@ -314,8 +315,14 @@ def ballistics_gain_pair_core(
     Args:
         u: ``(N, L)`` input energy envelopes.
         at_a..hk_a: ``(N,)`` first-stage recursion/knee constants.
+            An exact ONE-POLE smoothed stage maps onto the same
+            recursion with ``at == rt == 1 - alpha`` and init 0.0
+            (its trailing relu is a no-op on nonnegative energy), so
+            iir_exact-smoothed members ride the same walk.
         at_b..hk_b: ``(N,)`` second-stage constants.
         kinds: static pair of ``"compressor"``/``"noisegate"``.
+        inits: static per-stage initial envelope (1.0 for ballistics
+            members, 0.0 for exact one-pole members).
 
     Returns:
         ``(N, L)`` combined gains.
@@ -336,12 +343,14 @@ def ballistics_gain_pair_core(
         (ex(at_b), ex(rt_b), ex(th_b), ex(cf_b), ex(hk_b)),
         kinds=kinds,
         with_residuals=False,
+        inits=inits,
     )
     return gain_t[:L, :N].T
 
 
 def _gain_pair_fwd(
-    u, at_a, rt_a, th_a, cf_a, hk_a, at_b, rt_b, th_b, cf_b, hk_b, kinds
+    u, at_a, rt_a, th_a, cf_a, hk_a, at_b, rt_b, th_b, cf_b, hk_b,
+    kinds, inits,
 ):
     from grafx_tpu.ops.ballistics_tpu import (
         LANES,
@@ -357,13 +366,15 @@ def _gain_pair_fwd(
     consts_b = (ex(at_b), ex(rt_b), ex(th_b), ex(cf_b), ex(hk_b))
     ut = pad_time_major(u)
     gain_t, da_t, db_t, vlast, ulast = forward_gain_pair_pallas_tm(
-        ut, consts_a, consts_b, kinds=kinds, with_residuals=True
+        ut, consts_a, consts_b, kinds=kinds, with_residuals=True,
+        inits=inits,
     )
     res = (da_t, db_t, ut, vlast, ulast, consts_a, consts_b)
     return gain_t[:L, :N].T, res
 
 
-def _gain_pair_bwd(kinds, res, g):
+def _gain_pair_bwd(kinds, inits, res, g):
+    del inits  # the adjoint reconstructs envelopes from residuals
     from grafx_tpu.ops.ballistics_tpu import (
         LANES,
         backward_gain_pair_pallas_tm,

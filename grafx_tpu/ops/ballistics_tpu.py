@@ -717,8 +717,13 @@ def backward_gain_pallas_tm(
 # intermediate gated-signal materialization entirely (render/fuse.py
 # FusedDynamicsChain computes y = ga gb x in one multiply outside).
 #
-# Initial states are fixed at 1.0 (the processors' gain path always seeds
-# the smoother with ones), so the pair core takes no zi and emits no dzi.
+# Initial states are STATIC per-member constants (``inits``): 1.0 for a
+# ballistics-smoothed member (the gain path seeds the smoother with
+# ones) or 0.0 for an exact one-pole member (onepole_exact's zero
+# state; a one-pole is the at == rt special case of the recursion, and
+# its trailing relu is a no-op on nonnegative energy).  The pair core
+# takes no zi and emits no dzi — the backward reconstructs envelopes
+# from the stored residuals, so it never sees the init value.
 
 
 def _fwd_gain_pair_kernel(
@@ -726,15 +731,15 @@ def _fwd_gain_pair_kernel(
     atb_ref, rtb_ref, thb_ref, cfb_ref, hkb_ref,
     u_ref,
     gain_ref, da_ref, db_ref, vlast_ref, ulast_ref,
-    state_a, state_b, *, chunk, kinds,
+    state_a, state_b, *, chunk, kinds, inits=(1.0, 1.0),
 ):
     """Forward pair walk emitting the residuals the backward needs:
     ``d_a = e - v_prev``, ``d_b = ec - u_prev`` and the final states."""
 
     @pl.when(pl.program_id(1) == 0)
     def _():
-        state_a[:] = jnp.ones_like(state_a)
-        state_b[:] = jnp.ones_like(state_b)
+        state_a[:] = jnp.full_like(state_a, inits[0])
+        state_b[:] = jnp.full_like(state_b, inits[1])
 
     ata = ata_ref[0:1, :]
     rta = rta_ref[0:1, :]
@@ -803,15 +808,15 @@ def _fwd_gain_pair_kernel(
 def _fwd_gain_pair_only_kernel(
     ata_ref, rta_ref, tha_ref, cfa_ref, hka_ref,
     atb_ref, rtb_ref, thb_ref, cfb_ref, hkb_ref,
-    u_ref, gain_ref, state_a, state_b, *, chunk, kinds,
+    u_ref, gain_ref, state_a, state_b, *, chunk, kinds, inits=(1.0, 1.0),
 ):
     """Primal-only pair forward (no residual outputs for the no-grad
     path; Pallas outputs cannot be dead-code-eliminated)."""
 
     @pl.when(pl.program_id(1) == 0)
     def _():
-        state_a[:] = jnp.ones_like(state_a)
-        state_b[:] = jnp.ones_like(state_b)
+        state_a[:] = jnp.full_like(state_a, inits[0])
+        state_b[:] = jnp.full_like(state_b, inits[1])
 
     ata = ata_ref[0:1, :]
     rta = rta_ref[0:1, :]
@@ -1037,13 +1042,14 @@ def _bwd_gain_pair_kernel(
 def forward_gain_pair_pallas_tm(
     ut, consts_a, consts_b, chunk: int = 2048,
     kinds=("noisegate", "compressor"), interpret: bool = False,
-    with_residuals: bool = True,
+    with_residuals: bool = True, inits=(1.0, 1.0),
 ):
     """Fused gate->compressor pair forward on the padded time-major
     layout.  ``consts_a`` / ``consts_b`` are 5-tuples of ``(S*8, LANES)``
     per-lane constants ``(at, rt, th, cf, hk)`` from
-    :func:`expand_lanes`.  Returns ``gain_t`` alone, or
-    ``(gain_t, d_a, d_b, v_last, u_last)`` with residuals."""
+    :func:`expand_lanes`; ``inits`` the static per-member initial
+    envelope (1.0 ballistics, 0.0 exact one-pole).  Returns ``gain_t``
+    alone, or ``(gain_t, d_a, d_b, v_last, u_last)`` with residuals."""
     Lp, Np = ut.shape
     S = Np // LANES
     grid = (S, Lp // chunk)
@@ -1057,7 +1063,9 @@ def forward_gain_pair_pallas_tm(
     small = jax.ShapeDtypeStruct((S * 8, LANES), ut.dtype)
     if with_residuals:
         return pl.pallas_call(
-            functools.partial(_fwd_gain_pair_kernel, chunk=chunk, kinds=kinds),
+            functools.partial(
+                _fwd_gain_pair_kernel, chunk=chunk, kinds=kinds, inits=inits
+            ),
             grid=grid,
             in_specs=[lane_spec] * 10 + [data_spec],
             out_specs=(data_spec, data_spec, data_spec, lane_spec, lane_spec),
@@ -1067,7 +1075,7 @@ def forward_gain_pair_pallas_tm(
         )(*consts_a, *consts_b, ut)
     return pl.pallas_call(
         functools.partial(
-            _fwd_gain_pair_only_kernel, chunk=chunk, kinds=kinds
+            _fwd_gain_pair_only_kernel, chunk=chunk, kinds=kinds, inits=inits
         ),
         grid=grid,
         in_specs=[lane_spec] * 10 + [data_spec],

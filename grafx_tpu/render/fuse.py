@@ -302,33 +302,49 @@ class FusedDynamicsChain:
     reductions.  This is algebraically identical to the sequential
     application (float round-off only: ``g^2 e`` vs ``mean(g^2 x^2)``).
 
-    On TPU, a pair whose members BOTH use ballistics energy smoothing
-    with quadratic knees and no gain smoothing (the common
-    gate -> compressor serving chain, e.g. BASELINE config 4) runs as
-    ONE Pallas kernel computing both data-dependent recursions in a
-    single walk over time (:func:`grafx_tpu.ops.ballistics.
-    ballistics_gain_pair_core`) — halving the serial-walk kernel count
-    per direction.  Other combinations use the composed path above.
+    On TPU, a pair whose members use ballistics OR exact one-pole
+    (``iir_exact``) energy smoothing with quadratic knees and no gain
+    smoothing (the common gate -> compressor serving chain, e.g.
+    BASELINE config 4, including the default
+    ``NoiseGate(energy_smoother="iir_exact")``) runs as ONE Pallas
+    kernel computing both data-dependent recursions in a single walk
+    over time (:func:`grafx_tpu.ops.ballistics.
+    ballistics_gain_pair_core`; a one-pole is the ``at == rt`` special
+    case with init 0).  Other combinations use the composed path above.
     """
 
     def __init__(self, named_processors):
         self.members = list(named_processors)
 
     def _pair_kernel_args(self, nested_params):
-        """If the 2-member all-ballistics fast path applies, return the
-        per-member knee/recursion constants; else ``None``."""
+        """If the 2-member single-walk fast path applies, return the
+        per-member knee/recursion constants; else ``None``.
+
+        Eligible member smoothers: ballistics (native recursion, init
+        1.0) and the exact one-pole (``iir_exact`` — the ``at == rt ==
+        1 - alpha`` special case with init 0.0 and a no-op relu on
+        nonnegative energy), so the default serving gate
+        (``NoiseGate(energy_smoother="iir_exact")``) rides the same
+        fused walk as a ballistics gate."""
         from grafx_tpu.ops.ballistics import fused_gain_available
-        from grafx_tpu.processors.core.envelope import Ballistics
+        from grafx_tpu.processors.core.envelope import (
+            Ballistics,
+            TruncatedOnePoleIIRFilter,
+        )
 
         if len(self.members) != 2 or not fused_gain_available():
             return None
         consts = []
         for name, proc in self.members:
+            smoother = getattr(proc, "energy_smoother_module", None)
+            is_ballistics = isinstance(smoother, Ballistics)
+            is_onepole = (
+                isinstance(smoother, TruncatedOnePoleIIRFilter)
+                and smoother.exact
+            )
             if (
                 getattr(proc, "knee", None) != "quadratic"
-                or not isinstance(
-                    getattr(proc, "energy_smoother_module", None), Ballistics
-                )
+                or not (is_ballistics or is_onepole)
                 or proc.gain_smoother is not None
             ):
                 return None
@@ -336,7 +352,16 @@ class FusedDynamicsChain:
             import jax.numpy as jnp
 
             p = nested_params[name]
-            ts = jax.nn.sigmoid(p["z_alpha_pre"])
+            if is_ballistics:
+                ts = jax.nn.sigmoid(p["z_alpha_pre"])
+                at, rt = ts[..., 0], ts[..., 1]
+                init = 1.0
+            else:
+                alpha = jnp.minimum(
+                    jax.nn.sigmoid(p["z_alpha_pre"][..., 0]), 1.0 - 1e-5
+                )
+                at = rt = 1.0 - alpha
+                init = 0.0
             ratio = 1.0 + jnp.exp(p["log_ratio"][..., 0])
             cf = (
                 1.0 / ratio - 1.0
@@ -345,12 +370,13 @@ class FusedDynamicsChain:
             )
             consts.append(
                 dict(
-                    at=ts[..., 0],
-                    rt=ts[..., 1],
+                    at=at,
+                    rt=rt,
                     th=p["log_threshold"][..., 0] - 6.0,
                     cf=cf,
                     hk=jnp.exp(p["log_knee"][..., 0]) / 2.0,
                     kind=proc._fused_kind,
+                    init=init,
                 )
             )
         return consts
@@ -369,6 +395,7 @@ class FusedDynamicsChain:
                 a["at"], a["rt"], a["th"], a["cf"], a["hk"],
                 b["at"], b["rt"], b["th"], b["cf"], b["hk"],
                 (a["kind"], b["kind"]),
+                (a["init"], b["init"]),
             )
             return gain[:, None, :] * input_signals
         gain = None

@@ -346,3 +346,200 @@ def test_pair_core_custom_vjp_matches_composition():
 
     if not fused_gain_available():
         pytest.skip("Pallas path unavailable on this backend")
+
+
+def _pair_reference_inits(u, ca, cb, kinds, inits):
+    """Pair composition with per-stage initial states (0.0 for a
+    one-pole member, 1.0 for ballistics)."""
+    init_a = jnp.full(u.shape[0], inits[0], u.dtype)
+    init_b = jnp.full(u.shape[0], inits[1], u.dtype)
+    ga = _compose_gain_reference(
+        u, init_a, ca["at"], ca["rt"], ca["th"], ca["cf"], ca["hk"], kinds[0]
+    )
+    ec = ga * ga * u
+    gb = _compose_gain_reference(
+        ec, init_b, cb["at"], cb["rt"], cb["th"], cb["cf"], cb["hk"], kinds[1]
+    )
+    return ga * gb
+
+
+def _onepole_pair_setup(N, L, seed):
+    """Stage A = exact one-pole gate (at == rt == 1 - alpha, init 0),
+    stage B = ballistics compressor."""
+    u, ca, cb = _pair_setup(N, L, seed)
+    rng = np.random.RandomState(seed + 1)
+    one_minus_alpha = jnp.asarray(
+        rng.uniform(0.02, 0.5, N).astype(np.float32)
+    )
+    ca = dict(ca)
+    ca["at"] = ca["rt"] = one_minus_alpha
+    return u, ca, cb
+
+
+@pytest.mark.parametrize("L", [192, 200])
+def test_pair_forward_onepole_gate_matches_composition(L):
+    """inits=(0.0, 1.0) with at == rt on stage A == an exact one-pole
+    gate in the same walk (reference: the composed
+    onepole-smoother + knee path in processors/dynamics.py)."""
+    from grafx_tpu.ops.ballistics_tpu import forward_gain_pair_pallas_tm
+
+    N = 5
+    kinds = ("noisegate", "compressor")
+    u, ca, cb = _onepole_pair_setup(N, L, 29)
+    S = -(-N // LANES)
+    lanes = lambda v: expand_lanes(v, S)
+    tup = lambda c: tuple(lanes(c[k]) for k in ("at", "rt", "th", "cf", "hk"))
+    ut = pad_time_major(u, CHUNK)
+
+    gain_t = forward_gain_pair_pallas_tm(
+        ut, tup(ca), tup(cb), chunk=CHUNK, kinds=kinds,
+        interpret=True, with_residuals=False, inits=(0.0, 1.0),
+    )
+    ref = _pair_reference_inits(u, ca, cb, kinds, (0.0, 1.0))
+    np.testing.assert_allclose(
+        np.asarray(gain_t[:L, :N].T), np.asarray(ref), rtol=3e-5, atol=2e-6
+    )
+
+    # the scan stage A with at == rt IS the one-pole recursion: check
+    # against the independent exact blocked one-pole + knee path
+    from grafx_tpu.ops.iir import onepole_exact
+
+    alpha = 1.0 - ca["at"]
+    smoothed = jax.nn.relu(onepole_exact(u, alpha))
+    x = jnp.log(smoothed + 1e-5) - ca["th"][:, None]
+    hk_ = ca["hk"][:, None]
+    mid = -jnp.square(x - hk_) / (4.0 * hk_)
+    f = jnp.where(x < -hk_, x, jnp.where(x > hk_, 0.0, mid))
+    ga_ref = jnp.exp(ca["cf"][:, None] * f)
+    ec = ga_ref * ga_ref * u
+    gb_ref = _compose_gain_reference(
+        ec, jnp.ones(N, u.dtype), cb["at"], cb["rt"], cb["th"], cb["cf"],
+        cb["hk"], "compressor",
+    )
+    np.testing.assert_allclose(
+        np.asarray(gain_t[:L, :N].T), np.asarray(ga_ref * gb_ref),
+        rtol=2e-4, atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("L", [192, 200])
+def test_pair_backward_onepole_gate_matches_autodiff(L):
+    from grafx_tpu.ops.ballistics_tpu import (
+        backward_gain_pair_pallas_tm,
+        forward_gain_pair_pallas_tm,
+    )
+
+    N = 4
+    kinds = ("noisegate", "compressor")
+    u, ca, cb = _onepole_pair_setup(N, L, 31)
+    rng = np.random.RandomState(37)
+    gg = jnp.asarray(rng.randn(N, L).astype(np.float32))
+
+    S = -(-N // LANES)
+    lanes = lambda v: expand_lanes(v, S)
+    tup = lambda c: tuple(lanes(c[k]) for k in ("at", "rt", "th", "cf", "hk"))
+    ut = pad_time_major(u, CHUNK)
+    _, da_t, db_t, vlast, ulast = forward_gain_pair_pallas_tm(
+        ut, tup(ca), tup(cb), chunk=CHUNK, kinds=kinds,
+        interpret=True, with_residuals=True, inits=(0.0, 1.0),
+    )
+    outs = backward_gain_pair_pallas_tm(
+        da_t, db_t, ut, vlast, ulast, pad_time_major(gg, CHUNK),
+        tup(ca), tup(cb), chunk=CHUNK, kinds=kinds, interpret=True,
+    )
+    names = ["du", "dat_a", "drt_a", "dth_a", "dcf_a", "dhk_a",
+             "dat_b", "drt_b", "dth_b", "dcf_b", "dhk_b"]
+    got = {"du": np.asarray(outs[0][:L, :N].T)}
+    for name, v in zip(names[1:], outs[1:]):
+        got[name] = np.asarray(v[::8].reshape(-1)[:N])
+
+    def loss(u, at_a, rt_a, th_a, cf_a, hk_a, at_b, rt_b, th_b, cf_b, hk_b):
+        ca2 = dict(at=at_a, rt=rt_a, th=th_a, cf=cf_a, hk=hk_a)
+        cb2 = dict(at=at_b, rt=rt_b, th=th_b, cf=cf_b, hk=hk_b)
+        return jnp.sum(
+            _pair_reference_inits(u, ca2, cb2, kinds, (0.0, 1.0)) * gg
+        )
+
+    grads = jax.grad(loss, argnums=tuple(range(11)))(
+        u, ca["at"], ca["rt"], ca["th"], ca["cf"], ca["hk"],
+        cb["at"], cb["rt"], cb["th"], cb["cf"], cb["hk"],
+    )
+    for name, ref in zip(names, grads):
+        np.testing.assert_allclose(
+            got[name], np.asarray(ref), rtol=3e-4, atol=3e-5,
+            err_msg=name,
+        )
+    # one-pole member gradient: d(loss)/d(1-alpha) = dat_a + drt_a
+    # (both branch adjoints flow into the shared coefficient)
+    dalpha_kernel = -(got["dat_a"] + got["drt_a"])
+    one_minus_alpha = ca["at"]
+
+    def loss_alpha(oma):
+        ca2 = dict(ca)
+        ca2["at"] = ca2["rt"] = oma
+        return jnp.sum(
+            _pair_reference_inits(u, ca2, cb, kinds, (0.0, 1.0)) * gg
+        )
+
+    dalpha_ref = -np.asarray(jax.grad(loss_alpha)(one_minus_alpha))
+    np.testing.assert_allclose(
+        dalpha_kernel, dalpha_ref, rtol=3e-4, atol=3e-5
+    )
+
+
+def test_pair_kernel_args_onepole_mapping(monkeypatch):
+    """FusedDynamicsChain maps a NoiseGate(iir_exact) -> Compressor
+    (ballistics) pair onto the single-walk kernel: the consts it
+    extracts, fed to the interpret-mode kernel, must reproduce the
+    composed (unfused-semantics) gain path."""
+    import grafx_tpu.render.fuse as fuse_mod
+    from grafx_tpu.ops.ballistics_tpu import forward_gain_pair_pallas_tm
+    from grafx_tpu.processors.dynamics import Compressor, NoiseGate
+    from grafx_tpu.render.fuse import FusedDynamicsChain
+
+    monkeypatch.setattr(
+        "grafx_tpu.ops.ballistics.fused_gain_available", lambda: True
+    )
+    gate = NoiseGate(energy_smoother="iir_exact")
+    comp = Compressor(energy_smoother="ballistics")
+    chain = FusedDynamicsChain([("g", gate), ("c", comp)])
+
+    N, L = 3, 160
+    rng = np.random.RandomState(41)
+    params = {
+        "g": {
+            "log_threshold": jnp.asarray(rng.randn(N, 1), jnp.float32),
+            "log_ratio": jnp.asarray(rng.randn(N, 1) * 0.3, jnp.float32),
+            "log_knee": jnp.asarray(rng.randn(N, 1) * 0.3, jnp.float32),
+            "z_alpha_pre": jnp.asarray(rng.randn(N, 1), jnp.float32),
+        },
+        "c": {
+            "log_threshold": jnp.asarray(rng.randn(N, 1), jnp.float32),
+            "log_ratio": jnp.asarray(rng.randn(N, 1) * 0.3, jnp.float32),
+            "log_knee": jnp.asarray(rng.randn(N, 1) * 0.3, jnp.float32),
+            "z_alpha_pre": jnp.asarray(rng.randn(N, 2), jnp.float32),
+        },
+    }
+    consts = chain._pair_kernel_args(params)
+    assert consts is not None
+    a, b = consts
+    assert a["init"] == 0.0 and b["init"] == 1.0
+    np.testing.assert_allclose(np.asarray(a["at"]), np.asarray(a["rt"]))
+
+    energy = jnp.asarray(np.abs(rng.randn(N, L)).astype(np.float32))
+    S = -(-N // LANES)
+    lanes = lambda v: expand_lanes(v, S)
+    tup = lambda c: tuple(lanes(c[k]) for k in ("at", "rt", "th", "cf", "hk"))
+    gain_t = forward_gain_pair_pallas_tm(
+        pad_time_major(energy, CHUNK), tup(a), tup(b), chunk=CHUNK,
+        kinds=(a["kind"], b["kind"]), interpret=True,
+        with_residuals=False, inits=(a["init"], b["init"]),
+    )
+
+    # composed (unfused-semantics) reference through the processors
+    ga = gate.gain_from_energy(energy, **params["g"])
+    gb = comp.gain_from_energy(ga * ga * energy, **params["c"])
+    np.testing.assert_allclose(
+        np.asarray(gain_t[:L, :N].T), np.asarray(ga * gb),
+        rtol=2e-4, atol=1e-5,
+    )
