@@ -138,13 +138,24 @@ def main():
         # rounds; BENCH_FUSE_DYN=1 adds the dynamics family (r4).
         fuse_kinds += ["fir", "iir"]
         fuse_note = ", LTI-fused"
-    if os.environ.get("BENCH_FUSE_DYN", "0") == "1":
+    dyn_mode = os.environ.get("BENCH_FUSE_DYN", "0")
+    if dyn_mode != "0":
+        # "1": dynamics family under the full-coverage guard (a no-op
+        # on this console — only 6/17 chains have a gate).  "pad":
+        # gate-less chains join the composite type with an absent
+        # (identity) gate, so ALL noisegate+compressor work runs as ONE
+        # Pallas pair walk per direction (r4).
         fuse_kinds += ["dynamics"]
-        fuse_note += ", dyn-fused"
+        fuse_note += ", dyn-fused" if dyn_mode == "1" else ", dyn-padded"
     if fuse_kinds:
         from grafx_tpu.render import fuse_serial_lti
 
-        G, processors = fuse_serial_lti(G, processors, kinds=tuple(fuse_kinds))
+        G, processors = fuse_serial_lti(
+            G,
+            processors,
+            kinds=tuple(fuse_kinds),
+            dynamics_pad=(dyn_mode == "pad"),
+        )
 
     G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
     plan = prepare_render(G_t)

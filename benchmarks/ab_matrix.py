@@ -6,7 +6,10 @@ one arm.  Each bench.py invocation itself reports a median over 5
 measured windows plus min/max; this driver aggregates the per-run
 medians and prints a table with median-of-medians and the full spread.
 
-Usage:  python benchmarks/ab_matrix.py [rounds]      (default 3)
+Usage:  python benchmarks/ab_matrix.py [rounds] [arm ...]
+        (default 3 rounds over the round-4 build-formulation arms;
+        name arms to run a subset/other set, e.g.
+        ``python benchmarks/ab_matrix.py 3 default dyn=pad``)
 
 One TPU process at a time: this script runs the arms sequentially.
 Output: a markdown table on stdout + raw JSON lines to
@@ -18,17 +21,26 @@ import os
 import subprocess
 import sys
 
-ARMS = [
+ALL_ARMS = [
     ("default", {}),
     ("powers=doubling", {"GRAFX_TPU_POWERS": "doubling"}),
     ("toeplitz=reshape", {"GRAFX_TPU_TOEPLITZ_BUILD": "reshape"}),
     ("cascade=toeplitz", {"GRAFX_TPU_CASCADE_COMPOSE": "toeplitz"}),
     ("fuse=1", {"BENCH_FUSE": "1"}),
+    # dynamics padding (late r4): all console gate/comp work in ONE
+    # Pallas pair walk, gate-less chains padded with identity gates
+    ("dyn=pad", {"BENCH_FUSE_DYN": "pad"}),
+    ("fuse+dyn=pad", {"BENCH_FUSE": "1", "BENCH_FUSE_DYN": "pad"}),
 ]
+ARMS = ALL_ARMS[:5]
 
 
 def main():
+    global ARMS
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    if len(sys.argv) > 2:
+        by_name = dict(ALL_ARMS)
+        ARMS = [(n, by_name[n]) for n in sys.argv[2:]]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     outdir = os.path.join(repo, "outputs", "ab_matrix")
     os.makedirs(outdir, exist_ok=True)

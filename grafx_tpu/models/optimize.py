@@ -46,7 +46,10 @@ class GraphParameterOptimizer:
             (:func:`grafx_tpu.render.fuse_serial_lti`) before
             scheduling — serial FIR runs fold into one convolution and
             serial exact-cascade runs into one cascade.  Parameters are
-            created for the fused graph (nested per member).
+            created for the fused graph (nested per member).  Pass
+            ``"pad"`` to additionally pad lone dynamics nodes into the
+            2-member composite type with an absent (identity) member
+            (``dynamics_pad=True``).
     """
 
     def __init__(
@@ -64,7 +67,9 @@ class GraphParameterOptimizer:
         if fuse:
             from grafx_tpu.render import fuse_serial_lti
 
-            G, processors = fuse_serial_lti(G, processors)
+            G, processors = fuse_serial_lti(
+                G, processors, dynamics_pad=(fuse == "pad")
+            )
         self.G = G
         self.processors = processors
         # With the default MR-STFT loss, the target's spectrograms are

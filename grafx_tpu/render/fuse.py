@@ -311,6 +311,20 @@ class FusedDynamicsChain:
     over time (:func:`grafx_tpu.ops.ballistics.
     ballistics_gain_pair_core`; a one-pole is the ``at == rt`` special
     case with init 0).  Other combinations use the composed path above.
+
+    PADDING (``fuse_serial_lti(dynamics_pad=True)``): a lone dynamics
+    node can join a 2-member composite type with the missing member
+    marked ABSENT in the per-node ``_absent`` parameter (shape
+    ``(N, k)``, >0.5 = absent; the default near-zero init means
+    present).  An absent member's gain is the exact identity: on the
+    pair-kernel path its knee coefficient is multiplied by the
+    gradient-free presence indicator (``cf = 0`` makes
+    ``gain = exp(0 * f) = 1`` bit-exactly and zeroes every member-A
+    parameter gradient), and the composed/streaming paths select 1.0
+    outright.  This lets a console whose chains only PARTLY share the
+    gate -> compressor pair still run ALL its dynamics in one serial
+    walk instead of splitting the stage (the round-4 coverage guard's
+    measured +3.3 ms failure mode).
     """
 
     def __init__(self, named_processors):
@@ -334,8 +348,9 @@ class FusedDynamicsChain:
 
         if len(self.members) != 2 or not fused_gain_available():
             return None
+        absent = nested_params.get("_absent")
         consts = []
-        for name, proc in self.members:
+        for idx, (name, proc) in enumerate(self.members):
             smoother = getattr(proc, "energy_smoother_module", None)
             is_ballistics = isinstance(smoother, Ballistics)
             is_onepole = (
@@ -368,6 +383,11 @@ class FusedDynamicsChain:
                 if proc._fused_kind == "compressor"
                 else ratio - 1.0
             )
+            if absent is not None:
+                # absent member -> cf = 0 -> gain = exp(0 * f) = 1
+                # exactly; the comparison is gradient-free, so every
+                # absent-row member parameter gets an exactly-zero grad
+                cf = cf * (absent[..., idx] <= 0.5).astype(cf.dtype)
             consts.append(
                 dict(
                     at=at,
@@ -398,10 +418,13 @@ class FusedDynamicsChain:
                 (a["init"], b["init"]),
             )
             return gain[:, None, :] * input_signals
+        absent = nested_params.get("_absent")
         gain = None
-        for name, proc in self.members:
+        for idx, (name, proc) in enumerate(self.members):
             e_i = energy if gain is None else jnp.square(gain) * energy
             g_i = proc.gain_from_energy(e_i, **nested_params[name])
+            if absent is not None:
+                g_i = jnp.where(absent[..., idx : idx + 1] > 0.5, 1.0, g_i)
             gain = g_i if gain is None else gain * g_i
         return gain[:, None, :] * input_signals
 
@@ -418,26 +441,33 @@ class FusedDynamicsChain:
             )
             states[name] = s
             caches[name] = c
+        if "_absent" in nested_params:
+            caches["_absent"] = nested_params["_absent"]
         return states, caches
 
     def stream_step(self, x, state, cache):
         import jax.numpy as jnp
 
         energy = jnp.mean(jnp.square(x), axis=-2)
+        absent = cache.get("_absent")
         gain = None
         new_state = {}
-        for name, proc in self.members:
+        for idx, (name, proc) in enumerate(self.members):
             e_i = energy if gain is None else jnp.square(gain) * energy
             g_i, new_state[name] = proc.gain_stream_from_energy(
                 e_i, state[name], cache[name]
             )
+            if absent is not None:
+                g_i = jnp.where(absent[..., idx : idx + 1] > 0.5, 1.0, g_i)
             gain = g_i if gain is None else gain * g_i
         return gain[:, None, :] * x, new_state
 
     def parameter_size(self):
-        return {
-            name: proc.parameter_size() for name, proc in self.members
-        }
+        sizes = {name: proc.parameter_size() for name, proc in self.members}
+        # per-node member-presence mask (>0.5 = absent; the ~N(0, 1e-4)
+        # default init means "present", i.e. plain pairs are unaffected)
+        sizes["_absent"] = len(self.members)
+        return sizes
 
 
 _FUSED_CLASS = {
@@ -475,6 +505,7 @@ def fuse_serial_lti(
     min_run=2,
     kinds=("fir", "iir", "dynamics"),
     dynamics_partial=False,
+    dynamics_pad=False,
 ):
     """Rewrite ``G``, folding maximal serial runs of same-kind fusable
     nodes.
@@ -500,6 +531,13 @@ def fuse_serial_lti(
             splits the type's serial-walk stage and adds a whole walk
             per direction — measured slower); pass ``True`` to fuse
             partial coverage anyway.
+        dynamics_pad: rescue partial dynamics coverage by PADDING: a
+            lone node of a member type of some 2-member dynamics
+            pattern joins that composite type with the other member
+            marked absent (``_absent`` parameter; an absent member's
+            gain is the exact identity), so the whole family still
+            collapses into one serial-walk stage.  The coverage guard
+            then applies to what padding could not rescue.
 
     Returns:
         ``(G_fused, processors_fused)`` — a NEW graph over a config
@@ -543,8 +581,32 @@ def fuse_serial_lti(
             run.append(nxt)
             cur = nxt
         if len(run) >= min_run:
-            runs.append((k, run))
+            seq = tuple(G.nodes[m]["node_type"] for m in run)
+            runs.append((k, run, seq))
             in_run.update(run)
+
+    if dynamics_pad:
+        # Lone nodes of a member type of some 2-member dynamics pattern
+        # join that composite type with the other member absent (runs
+        # carry None at the absent position; the member's gain is the
+        # exact identity via the _absent parameter).
+        patterns = []
+        for k, run, seq in runs:
+            if k == "dynamics" and len(seq) == 2 and seq not in patterns:
+                patterns.append(seq)
+        for seq in patterns:
+            for pos, t in enumerate(seq):
+                for n in sorted(G.nodes):
+                    if (
+                        n in in_run
+                        or G.nodes[n]["node_type"] != t
+                        or kind_of(n) != "dynamics"
+                    ):
+                        continue
+                    padded = [None, None]
+                    padded[pos] = n
+                    runs.append(("dynamics", padded, seq))
+                    in_run.add(n)
 
     if not dynamics_partial:
         # Dynamics-coverage guard: fusing SOME of a type's nodes moves
@@ -560,22 +622,22 @@ def fuse_serial_lti(
             t = G.nodes[n]["node_type"]
             total[t] = total.get(t, 0) + 1
         covered = {}
-        for k, run in runs:
+        for k, run, seq in runs:
             if k != "dynamics":
                 continue
             for n in run:
+                if n is None:
+                    continue
                 t = G.nodes[n]["node_type"]
                 covered[t] = covered.get(t, 0) + 1
         kept = []
-        for k, run in runs:
+        for k, run, seq in runs:
             if k == "dynamics" and any(
-                covered.get(G.nodes[n]["node_type"], 0)
-                < total[G.nodes[n]["node_type"]]
-                for n in run
+                covered.get(t, 0) < total[t] for t in set(seq)
             ):
-                in_run.difference_update(run)
+                in_run.difference_update(n for n in run if n is not None)
                 continue
-            kept.append((k, run))
+            kept.append((k, run, seq))
         runs = kept
 
     if not runs:
@@ -584,8 +646,7 @@ def fuse_serial_lti(
     # --- composite types ------------------------------------------------
     processors_fused = dict(processors)
     run_type = {}
-    for k, run in runs:
-        seq = tuple(G.nodes[n]["node_type"] for n in run)
+    for k, run, seq in runs:
         if seq not in run_type:
             fused_name = "fused(" + "+".join(seq) + ")"
             run_type[seq] = fused_name
@@ -607,18 +668,18 @@ def fuse_serial_lti(
     G2 = GRAFX(config=config, invalid_op=G.invalid_op)
 
     node_map = {}  # old node -> new node carrying its output
-    for _, run in runs:
-        seq = tuple(G.nodes[n]["node_type"] for n in run)
+    for _, run, seq in runs:
         fused = G2.add(run_type[seq])
         for n in run:
-            node_map[n] = fused
+            if n is not None:
+                node_map[n] = fused
     for n in sorted(G.nodes):
         if n not in node_map:
             node_map[n] = G2.add(G.nodes[n]["node_type"])
 
     interior = {
         (run[i], run[i + 1])
-        for _, run in runs
+        for _, run, _seq in runs
         for i in range(len(run) - 1)
     }
     for u, v, data in G.edges(data=True):
@@ -634,8 +695,9 @@ def fuse_serial_lti(
     # new composite node -> its run's original nodes (member order);
     # new plain node -> [original node]
     fused_from = {}
-    for _, run in runs:
-        fused_from[node_map[run[0]]] = list(run)
+    for _, run, _seq in runs:
+        first = next(n for n in run if n is not None)
+        fused_from[node_map[first]] = list(run)
     for n, n2 in node_map.items():
         if n2 not in fused_from:
             fused_from[n2] = [n]
@@ -711,9 +773,10 @@ def fuse_parameters(
     orig_row = _scheduled_type_rows(G, method, **order_kwargs)
     fused_row = _scheduled_type_rows(G_fused, method, **order_kwargs)
 
-    def gather(tree, rows):
-        import jax
+    import jax
+    import jax.numpy as jnp
 
+    def gather(tree, rows):
         return jax.tree.map(lambda a: a[np.asarray(rows)], tree)
 
     out = {}
@@ -728,10 +791,29 @@ def fuse_parameters(
         proc = processors_fused[t2]
         if t2.startswith("fused(") and hasattr(proc, "members"):
             nested = {}
+            absent = np.zeros((len(nodes2), len(proc.members)), np.float32)
             for i, (mname, _) in enumerate(proc.members):
                 t_orig = mname.split("_", 1)[1]
-                rows = [orig_row[fused_from[n2][i]] for n2 in nodes2]
-                nested[mname] = gather(params[t_orig], rows)
+                srcs = [fused_from[n2][i] for n2 in nodes2]
+                # padded composite nodes (dynamics_pad) have no source
+                # node for an absent member: zero-fill its rows and
+                # flag them in the _absent mask
+                rows = [orig_row[s] if s is not None else 0 for s in srcs]
+                sub = gather(params[t_orig], rows)
+                if any(s is None for s in srcs):
+                    keep = np.array(
+                        [0.0 if s is None else 1.0 for s in srcs],
+                        np.float32,
+                    )
+                    sub = jax.tree_util.tree_map(
+                        lambda a: a
+                        * keep.reshape((-1,) + (1,) * (a.ndim - 1)),
+                        sub,
+                    )
+                    absent[:, i] = 1.0 - keep
+                nested[mname] = sub
+            if "_absent" in proc.parameter_size():
+                nested["_absent"] = jnp.asarray(absent)
             out[t2] = nested
         elif t2 in params:
             rows = [orig_row[fused_from[n2][0]] for n2 in nodes2]

@@ -723,3 +723,151 @@ def test_fuse_dynamics_partial_coverage_guard():
     y_fused, _ = _render(G3, procs3, fused_params, x)
     scale = np.abs(y_ref).max() + 1e-9
     assert np.abs(y_fused - y_ref).max() / scale < 1e-5
+
+
+def _padded_dyn_graph(num_pairs=2, num_lone_comp=2, num_lone_gate=1):
+    """Console-like partial coverage: some chains gate->comp, some
+    compressor-only, some gate-only."""
+    from grafx_tpu.processors import NoiseGate
+
+    procs = {
+        "gate": NoiseGate(energy_smoother="iir_exact"),
+        "comp": Compressor(energy_smoother="ballistics"),
+    }
+    G = GRAFX(config=NodeConfigs(sorted(procs)))
+    ends = []
+    for _ in range(num_pairs):
+        ends.append(G.add_serial_chain(["in", "gate", "comp"])[1])
+    for _ in range(num_lone_comp):
+        ends.append(G.add_serial_chain(["in", "comp"])[1])
+    for _ in range(num_lone_gate):
+        ends.append(G.add_serial_chain(["in", "gate"])[1])
+    mix = G.add("mix")
+    [G.connect(e, mix) for e in ends]
+    G.connect(mix, G.add("out"))
+    return G, procs
+
+
+def test_fuse_dynamics_pad_unifies_the_family():
+    """dynamics_pad=True: lone gates/comps join fused(gate+comp) with
+    the other member absent, so NO plain dynamics type survives (one
+    serial-walk stage instead of a split), and output parity holds via
+    the schedule-aware parameter migration."""
+    from grafx_tpu.render import fuse_parameters, fuse_serial_lti
+
+    G, procs = _padded_dyn_graph()
+    # default guard refuses partial coverage ...
+    G0, procs0 = fuse_serial_lti(G, procs)
+    assert G0 is G
+    # ... padding rescues it
+    G2, procs2 = fuse_serial_lti(G, procs, dynamics_pad=True)
+    types2 = {G2.nodes[n]["node_type"] for n in G2.nodes}
+    assert "fused(gate+comp)" in types2
+    assert "gate" not in types2 and "comp" not in types2
+    n_fused = sum(
+        1 for n in G2.nodes
+        if G2.nodes[n]["node_type"] == "fused(gate+comp)"
+    )
+    assert n_fused == 5  # 2 pairs + 2 lone comps + 1 lone gate
+
+    params = create_empty_parameters(procs, G, key=jax.random.PRNGKey(12))
+    params["gate"]["log_threshold"] = params["gate"]["log_threshold"] - 2.0
+    x = jax.random.normal(jax.random.PRNGKey(13), (5, 2, 2**12))
+    y_ref, _ = _render(G, procs, params, x)
+    fused_params = fuse_parameters(params, G, G2, procs2, method="beam")
+    # mask rows flagged for exactly the padded nodes
+    absent = np.asarray(fused_params["fused(gate+comp)"]["_absent"])
+    assert absent.shape == (5, 2)
+    assert absent[:, 0].sum() == 2 and absent[:, 1].sum() == 1
+    y_fused, _ = _render(G2, procs2, fused_params, x)
+    scale = np.abs(y_ref).max() + 1e-9
+    assert np.abs(y_fused - y_ref).max() / scale < 1e-5
+
+
+def test_fuse_dynamics_pad_grad_parity_and_absent_grads_zero():
+    """Gradients of the padded fused render match the per-node graph
+    through the (differentiable) parameter migration, and the grads on
+    an ABSENT member's zero-filled rows are exactly zero (the presence
+    indicator multiplies the knee coefficient gradient-free)."""
+    from grafx_tpu.render import fuse_parameters, fuse_serial_lti
+
+    G, procs = _padded_dyn_graph(num_pairs=1, num_lone_comp=1,
+                                 num_lone_gate=0)
+    G2, procs2 = fuse_serial_lti(G, procs, dynamics_pad=True)
+
+    params = create_empty_parameters(procs, G, key=jax.random.PRNGKey(14))
+    params["gate"]["log_threshold"] = params["gate"]["log_threshold"] - 1.0
+    x = jax.random.normal(jax.random.PRNGKey(15), (2, 2, 2**11))
+    w = jax.random.normal(jax.random.PRNGKey(16), (1, 2, 2**11))
+
+    G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
+    render_u = make_render_fn(procs, prepare_render(G_t), jit=False)
+    G2_t = reorder_for_fast_render(convert_to_tensor(G2), method="beam")
+    render_f = make_render_fn(procs2, prepare_render(G2_t), jit=False)
+
+    def loss_u(p):
+        return jnp.sum(render_u(x, p)[0] * w)
+
+    def loss_f(p):
+        return jnp.sum(
+            render_f(x, fuse_parameters(p, G, G2, procs2, method="beam"))[0]
+            * w
+        )
+
+    gu = jax.grad(loss_u)(params)
+    gf = jax.grad(loss_f)(params)
+    for t in gu:
+        for k in gu[t]:
+            a, b = np.asarray(gf[t][k]), np.asarray(gu[t][k])
+            np.testing.assert_allclose(
+                a, b, rtol=2e-4,
+                atol=2e-6 * (np.abs(b).max() + 1e-9),
+                err_msg=f"{t}.{k}",
+            )
+
+    # direct fused-params grads: absent member-A rows exactly zero
+    fused_params = fuse_parameters(params, G, G2, procs2, method="beam")
+
+    def loss_direct(fp):
+        return jnp.sum(render_f(x, fp)[0] * w)
+
+    gd = jax.grad(loss_direct)(fused_params)["fused(gate+comp)"]
+    absent = np.asarray(fused_params["fused(gate+comp)"]["_absent"])
+    pad_rows = absent[:, 0] > 0.5
+    assert pad_rows.sum() == 1
+    gate_member = [n for n, _ in procs2["fused(gate+comp)"].members][0]
+    for k, v in gd[gate_member].items():
+        assert np.all(np.asarray(v)[pad_rows] == 0.0), k
+    # the _absent mask itself receives no gradient (comparison only)
+    assert np.all(np.asarray(gd["_absent"]) == 0.0)
+
+
+def test_fuse_dynamics_pad_streaming_matches():
+    """The padded composite streams: the _absent mask rides the stream
+    cache and the streamed output matches the one-shot fused render."""
+    from grafx_tpu.render import fuse_parameters, fuse_serial_lti
+    from grafx_tpu.render.streaming import StreamRenderer
+
+    G, procs = _padded_dyn_graph(num_pairs=1, num_lone_comp=1,
+                                 num_lone_gate=0)
+    G2, procs2 = fuse_serial_lti(G, procs, dynamics_pad=True)
+    params = create_empty_parameters(procs, G, key=jax.random.PRNGKey(17))
+    fused_params = fuse_parameters(params, G, G2, procs2, method="beam")
+
+    G2_t = reorder_for_fast_render(convert_to_tensor(G2), method="beam")
+    plan2 = prepare_render(G2_t)
+    x = jax.random.normal(jax.random.PRNGKey(18), (2, 2, 4096))
+    full = np.asarray(
+        make_render_fn(procs2, plan2, jit=False)(x, fused_params)[0]
+    )
+
+    block = 1024
+    streamer = StreamRenderer(procs2, plan2, fused_params, block_len=block)
+    state = streamer.init_state()
+    outs = []
+    for k in range(x.shape[-1] // block):
+        y, state = streamer(x[..., k * block : (k + 1) * block], state)
+        outs.append(np.asarray(y))
+    streamed = np.concatenate(outs, axis=-1)
+    err = np.abs(streamed - full).max() / (np.abs(full).max() + 1e-9)
+    assert err < 1e-5, err

@@ -543,3 +543,69 @@ def test_pair_kernel_args_onepole_mapping(monkeypatch):
         np.asarray(gain_t[:L, :N].T), np.asarray(ga * gb),
         rtol=2e-4, atol=1e-5,
     )
+
+
+def test_pair_kernel_args_absent_member_identity(monkeypatch):
+    """dynamics_pad: _absent rows zero the member's knee coefficient,
+    so the pair kernel computes gain = exp(0 * f) = 1 exactly for the
+    absent stage — the padded node behaves as the lone member alone."""
+    import grafx_tpu.render.fuse as fuse_mod
+    from grafx_tpu.ops.ballistics_tpu import forward_gain_pair_pallas_tm
+    from grafx_tpu.processors.dynamics import Compressor, NoiseGate
+    from grafx_tpu.render.fuse import FusedDynamicsChain
+
+    monkeypatch.setattr(
+        "grafx_tpu.ops.ballistics.fused_gain_available", lambda: True
+    )
+    gate = NoiseGate(energy_smoother="iir_exact")
+    comp = Compressor(energy_smoother="ballistics")
+    chain = FusedDynamicsChain([("g", gate), ("c", comp)])
+
+    N, L = 4, 160
+    rng = np.random.RandomState(43)
+    params = {
+        "g": {
+            "log_threshold": jnp.asarray(rng.randn(N, 1), jnp.float32),
+            "log_ratio": jnp.asarray(rng.randn(N, 1) * 0.3, jnp.float32),
+            "log_knee": jnp.asarray(rng.randn(N, 1) * 0.3, jnp.float32),
+            "z_alpha_pre": jnp.asarray(rng.randn(N, 1), jnp.float32),
+        },
+        "c": {
+            "log_threshold": jnp.asarray(rng.randn(N, 1), jnp.float32),
+            "log_ratio": jnp.asarray(rng.randn(N, 1) * 0.3, jnp.float32),
+            "log_knee": jnp.asarray(rng.randn(N, 1) * 0.3, jnp.float32),
+            "z_alpha_pre": jnp.asarray(rng.randn(N, 2), jnp.float32),
+        },
+        # rows 1 and 3: gate absent (identity)
+        "_absent": jnp.asarray(
+            [[0.0, 0.0], [1.0, 0.0], [0.0, 0.0], [1.0, 0.0]], jnp.float32
+        ),
+    }
+    consts = chain._pair_kernel_args(params)
+    assert consts is not None
+    a, b = consts
+    cf = np.asarray(a["cf"])
+    assert cf[1] == 0.0 and cf[3] == 0.0 and cf[0] != 0.0 and cf[2] != 0.0
+
+    energy = jnp.asarray(np.abs(rng.randn(N, L)).astype(np.float32))
+    S = -(-N // LANES)
+    lanes = lambda v: expand_lanes(v, S)
+    tup = lambda c: tuple(lanes(c[k]) for k in ("at", "rt", "th", "cf", "hk"))
+    gain_t = forward_gain_pair_pallas_tm(
+        pad_time_major(energy, CHUNK), tup(a), tup(b), chunk=CHUNK,
+        kinds=(a["kind"], b["kind"]), interpret=True,
+        with_residuals=False, inits=(a["init"], b["init"]),
+    )
+    gain = np.asarray(gain_t[:L, :N].T)
+
+    # present rows: composed gate->comp reference
+    ga = gate.gain_from_energy(energy, **params["g"])
+    gb = comp.gain_from_energy(ga * ga * energy, **params["c"])
+    ref_pair = np.asarray(ga * gb)
+    # absent-gate rows: the compressor alone
+    ref_solo = np.asarray(comp.gain_from_energy(energy, **params["c"]))
+    for n in range(N):
+        ref = ref_solo[n] if n in (1, 3) else ref_pair[n]
+        np.testing.assert_allclose(
+            gain[n], ref, rtol=2e-4, atol=1e-5, err_msg=f"row {n}"
+        )
