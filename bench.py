@@ -222,6 +222,27 @@ def main():
     step_ms = window_ms[len(window_ms) // 2]  # median window
     step_s = step_ms / 1000.0
 
+    # Device time (VERDICT r4 #2): one profiled window per bench run.
+    # Wall-clock through the tunnel drifts ~20% day-to-day and folds in
+    # a ~2 ms dispatch floor; the summed XLA-op device time survives
+    # both, so round-over-round progress is comparable.
+    device_ms = None
+    if os.environ.get("BENCH_DEVICE_TIME", "1") == "1":
+        try:
+            from grafx_tpu.profiling import device_time_ms
+
+            prof_steps = 3
+            state = {"p": params}
+
+            def _profiled():
+                for _ in range(prof_steps):
+                    _, state["p"] = train_step(state["p"])
+                jax.block_until_ready(state["p"])
+
+            device_ms = device_time_ms(_profiled) / prof_steps
+        except Exception:  # noqa: BLE001 — profiling must never kill the bench
+            device_ms = None
+
     audio_sec = BATCH * NUM_CHAINS * AUDIO_LEN / SR
     value = audio_sec / step_s
 
@@ -234,8 +255,13 @@ def main():
                     f" stereo x 2^{AUDIO_LEN.bit_length() - 1} @ 44.1kHz); step time"
                     f" median {step_ms:.1f} ms over {windows}x{iters}-step"
                     f" windows [{window_ms[0]:.1f}, {window_ms[-1]:.1f}]"
-                    f" ({step_ms / BATCH:.1f} ms/graph)"
-                    f"{fuse_note}{aot_note}{precision_note}"
+                    f" ({step_ms / BATCH:.1f} ms/graph"
+                    + (
+                        f", device {device_ms:.1f} ms/step"
+                        if device_ms is not None
+                        else ""
+                    )
+                    + f"){fuse_note}{aot_note}{precision_note}"
                 ),
                 "value": round(value, 1),
                 "unit": "audio-sec/sec/chip",
@@ -243,6 +269,9 @@ def main():
                 "step_ms_median": round(step_ms, 2),
                 "step_ms_min": round(window_ms[0], 2),
                 "step_ms_max": round(window_ms[-1], 2),
+                "device_ms_per_step": (
+                    round(device_ms, 2) if device_ms is not None else None
+                ),
                 "windows": windows,
                 "iters_per_window": iters,
             }

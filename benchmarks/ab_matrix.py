@@ -13,7 +13,8 @@ Usage:  python benchmarks/ab_matrix.py [rounds] [arm ...]
 
 One TPU process at a time: this script runs the arms sequentially.
 Output: a markdown table on stdout + raw JSON lines to
-outputs/ab_matrix/<arm>_<round>.json.
+outputs/evidence/ab_matrix/<arm>_<round>.json (TRACKED — decision
+evidence is committed, VERDICT r4 #3).
 """
 
 import json
@@ -42,7 +43,7 @@ def main():
         by_name = dict(ALL_ARMS)
         ARMS = [(n, by_name[n]) for n in sys.argv[2:]]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    outdir = os.path.join(repo, "outputs", "ab_matrix")
+    outdir = os.path.join(repo, "outputs", "evidence", "ab_matrix")
     os.makedirs(outdir, exist_ok=True)
 
     results = {name: [] for name, _ in ARMS}
@@ -75,28 +76,33 @@ def main():
                 continue
             d = json.loads(line)
             results[name].append(
-                (d["step_ms_median"], d["step_ms_min"], d["step_ms_max"])
+                (d["step_ms_median"], d["step_ms_min"], d["step_ms_max"],
+                 d.get("device_ms_per_step"))
             )
+            dev = d.get("device_ms_per_step")
             print(
                 f"[round {r}] {name}: median {d['step_ms_median']} ms "
-                f"[{d['step_ms_min']}, {d['step_ms_max']}]",
+                f"[{d['step_ms_min']}, {d['step_ms_max']}]"
+                + (f", device {dev} ms" if dev is not None else ""),
                 flush=True,
             )
 
-    print("\n| arm | median of run-medians (ms) | all run medians | min | max |")
-    print("|---|---|---|---|---|")
+    print("\n| arm | median of run-medians (ms) | all run medians | min | max | device ms (runs) |")
+    print("|---|---|---|---|---|---|")
     for name, _ in ARMS:
         rs = results[name]
         if not rs:
-            print(f"| {name} | FAILED | | | |")
+            print(f"| {name} | FAILED | | | | |")
             continue
-        meds = sorted(m for m, _, _ in rs)
+        meds = sorted(m for m, _, _, _ in rs)
         mid = meds[len(meds) // 2]
-        lo = min(mn for _, mn, _ in rs)
-        hi = max(mx for _, _, mx in rs)
+        lo = min(mn for _, mn, _, _ in rs)
+        hi = max(mx for _, _, mx, _ in rs)
+        devs = [d for _, _, _, d in rs if d is not None]
+        dev_s = ", ".join(f"{d:.1f}" for d in sorted(devs)) if devs else "-"
         print(
             f"| {name} | {mid:.1f} | {', '.join(f'{m:.1f}' for m in meds)} "
-            f"| {lo:.1f} | {hi:.1f} |"
+            f"| {lo:.1f} | {hi:.1f} | {dev_s} |"
         )
 
 

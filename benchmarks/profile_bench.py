@@ -70,32 +70,26 @@ def summarize(log_dir, top=25):
         trace = json.load(f)
     events = trace["traceEvents"]
 
-    # device-stream PIDs: process names that look like device/TPU streams
-    pid_names = {}
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_names[e["pid"]] = e["args"].get("name", "")
-    device_pids = {
-        p for p, n in pid_names.items()
-        if any(k in n.lower() for k in ("tpu", "device", "xla", "axon"))
-        and "host" not in n.lower()
-    }
+    # Only the leaf "XLA Ops" lane: the "XLA Modules" lane ALSO carries
+    # device_duration_ps and its totals equal the sum of its ops, so a
+    # presence-only filter double-counts exactly 2x (r5 dissection).
+    from grafx_tpu.profiling import device_op_lanes
+
+    ops_lanes = device_op_lanes(events)
 
     per_op = collections.Counter()
     per_cat = collections.Counter()
     per_src = collections.Counter()
     total = 0.0
     for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in ops_lanes:
             continue
-        # only the "XLA Ops" lane (tid 3 by convention) carries leaf ops;
-        # other lanes (Steps, Modules) double-count
         if "args" not in e or "device_duration_ps" not in e.get("args", {}):
             continue
         name = e.get("name", "")
         if name.startswith("$") or name in ("", "unknown"):
             continue
-        dur = e.get("dur", 0) / 1e6  # us -> s
+        dur = float(e["args"]["device_duration_ps"]) / 1e12  # ps -> s
         per_op[name] += dur
         per_cat[categorize(name)] += dur
         per_src[e["args"].get("source", "?")] += dur

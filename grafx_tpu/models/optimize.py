@@ -46,10 +46,15 @@ class GraphParameterOptimizer:
             (:func:`grafx_tpu.render.fuse_serial_lti`) before
             scheduling — serial FIR runs fold into one convolution and
             serial exact-cascade runs into one cascade.  Parameters are
-            created for the fused graph (nested per member).  Pass
+            initialized on the ORIGINAL graph and migrated through
+            :func:`grafx_tpu.render.fuse_parameters` (so the fused init
+            distribution matches the unfused one exactly).  Pass
             ``"pad"`` to additionally pad lone dynamics nodes into the
             2-member composite type with an absent (identity) member
-            (``dynamics_pad=True``).
+            (``dynamics_pad=True``); padded members start flagged
+            absent with zero-filled rows, and every ``_absent`` mask is
+            auto-frozen (see below) so gradient-free optimizer terms
+            such as weight decay cannot flip a member present mid-run.
     """
 
     def __init__(
@@ -64,9 +69,11 @@ class GraphParameterOptimizer:
         key=None,
         fuse=False,
     ):
+        G_unfused = processors_unfused = None
         if fuse:
             from grafx_tpu.render import fuse_serial_lti
 
+            G_unfused, processors_unfused = G, processors
             G, processors = fuse_serial_lti(
                 G, processors, dynamics_pad=(fuse == "pad")
             )
@@ -87,11 +94,39 @@ class GraphParameterOptimizer:
         G_t = reorder_for_fast_render(convert_to_tensor(G), method=method)
         self.render_data = prepare_render(G_t)
         self.render = make_render_fn(processors, self.render_data, jit=False)
-        self.params = create_empty_parameters(
-            processors, G, key=key if key is not None else jax.random.PRNGKey(0)
+        key = key if key is not None else jax.random.PRNGKey(0)
+        if G_unfused is not None:
+            # Initialize on the ORIGINAL graph and migrate through the
+            # schedule-aware fuse_parameters: padded composite nodes
+            # (fuse="pad") then start with the missing member flagged
+            # absent (_absent = 1) and its rows zero-filled — the exact
+            # identity the docstring promises.  A naive
+            # create_empty_parameters on the fused graph would draw
+            # _absent ~ N(0, 1e-2) = "all members present" and TRAIN the
+            # padding member from random init, silently changing the
+            # user's graph.
+            from grafx_tpu.render import fuse_parameters
+
+            params_unfused = create_empty_parameters(
+                processors_unfused, G_unfused, key=key
+            )
+            self.params = fuse_parameters(
+                params_unfused, G_unfused, G, processors, method=method
+            )
+        else:
+            self.params = create_empty_parameters(processors, G, key=key)
+        mask = (
+            self._trainable_mask(trainable, self.params)
+            if trainable is not None
+            else jax.tree.map(lambda _: True, self.params)
         )
-        if trainable is not None:
-            mask = self._trainable_mask(trainable, self.params)
+        # _absent member-presence masks are STRUCTURAL, not trainable:
+        # their render gradients are exactly zero, but gradient-free
+        # optimizer terms (e.g. adamw weight decay) would still decay a
+        # 1.0 flag toward the 0.5 threshold and flip an absent member to
+        # present mid-run.  Always route them to set_to_zero.
+        mask = self._freeze_absent(mask)
+        if not all(jax.tree.leaves(mask)):
             # NOT optax.masked: it passes masked-out updates through
             # UNtransformed (i.e. raw gradients reach apply_updates),
             # which moves "frozen" parameters.  multi_transform routes
@@ -125,6 +160,25 @@ class GraphParameterOptimizer:
             return params, opt_state, total, audio_loss
 
         self._update = update
+
+    @staticmethod
+    def _freeze_absent(mask):
+        """Set every ``_absent`` subtree of a boolean trainable mask to
+        ``False`` (see ``__init__``: presence masks are structural)."""
+
+        def walk(m):
+            if isinstance(m, dict):
+                return {
+                    k: (
+                        jax.tree.map(lambda _: False, v)
+                        if k == "_absent"
+                        else walk(v)
+                    )
+                    for k, v in m.items()
+                }
+            return m
+
+        return walk(mask)
 
     @staticmethod
     def _trainable_mask(trainable, params):

@@ -465,7 +465,13 @@ class FusedDynamicsChain:
     def parameter_size(self):
         sizes = {name: proc.parameter_size() for name, proc in self.members}
         # per-node member-presence mask (>0.5 = absent; the ~N(0, 1e-4)
-        # default init means "present", i.e. plain pairs are unaffected)
+        # default init means "present", i.e. plain pairs are unaffected).
+        # STRUCTURAL, not trainable: render gradients are exactly zero,
+        # but optimizers with gradient-free terms (adamw weight decay)
+        # would still decay a 1.0 flag toward the 0.5 threshold and flip
+        # an absent member to present mid-run — mask _absent out of any
+        # such optimizer (GraphParameterOptimizer auto-freezes it via
+        # its multi_transform routing).
         sizes["_absent"] = len(self.members)
         return sizes
 

@@ -122,6 +122,87 @@ def test_optimizer_fuse_option():
     assert history[-1] < history[0]
 
 
+def _partial_dynamics_graph():
+    """One gate->comp chain plus one compressor-only chain: padding
+    territory for ``fuse="pad"``."""
+    from grafx_tpu.data import GRAFX, NodeConfigs
+    from grafx_tpu.processors import Compressor, NoiseGate
+
+    processors = {
+        "gate": NoiseGate(energy_smoother="iir_exact"),
+        "comp": Compressor(energy_smoother="ballistics"),
+    }
+    G = GRAFX(config=NodeConfigs(sorted(processors)))
+    ends = [
+        G.add_serial_chain(["in", "gate", "comp"])[1],
+        G.add_serial_chain(["in", "comp"])[1],
+    ]
+    mix = G.add("mix")
+    [G.connect(e, mix) for e in ends]
+    G.connect(mix, G.add("out"))
+    return G, processors
+
+
+def test_optimizer_fuse_pad_identity_init():
+    """``fuse="pad"`` must NOT change the user's graph at init: the
+    padded lone node renders identically to the unfused graph because
+    the absent member starts flagged (identity gain, zero-filled rows)
+    — parameter init is routed through fuse_parameters (advisor r4
+    high: a naive fused-graph init drew _absent ~ N(0, 1e-2) =
+    all-present and trained the padding member from random init)."""
+    G, processors = _partial_dynamics_graph()
+    key = jax.random.PRNGKey(3)
+    opt_ref = GraphParameterOptimizer(
+        G, processors, loss_fn=mse_loss, key=key
+    )
+    opt_pad = GraphParameterOptimizer(
+        G, processors, loss_fn=mse_loss, key=key, fuse="pad"
+    )
+    fused_t = [t for t in opt_pad.processors if t.startswith("fused(")]
+    assert fused_t == ["fused(gate+comp)"]
+    absent = np.asarray(opt_pad.params[fused_t[0]]["_absent"])
+    assert absent.shape == (2, 2)
+    # exactly one padded gate member, no padded comps
+    assert absent[:, 0].sum() == 1.0 and absent[:, 1].sum() == 0.0
+
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 2, 2**11))
+    y_ref = np.asarray(opt_ref.render_current(x))
+    y_pad = np.asarray(opt_pad.render_current(x))
+    scale = np.abs(y_ref).max() + 1e-9
+    assert np.abs(y_pad - y_ref).max() / scale < 1e-5
+
+
+def test_optimizer_fuse_pad_absent_survives_weight_decay():
+    """_absent is structural: even under adamw (whose weight decay
+    updates parameters without gradients) the mask must stay bitwise
+    intact across steps — GraphParameterOptimizer auto-routes _absent
+    leaves to set_to_zero (advisor r4 medium)."""
+    import optax
+
+    G, processors = _partial_dynamics_graph()
+    opt = GraphParameterOptimizer(
+        G,
+        processors,
+        loss_fn=mse_loss,
+        optimizer=optax.adamw(1e-2, weight_decay=0.5),
+        key=jax.random.PRNGKey(5),
+        fuse="pad",
+    )
+    absent0 = np.asarray(opt.params["fused(gate+comp)"]["_absent"]).copy()
+    comp0 = jax.tree.map(np.asarray, opt.params["fused(gate+comp)"]["1_comp"])
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 2, 2**10))
+    opt.fit(x, 0.5 * x, num_steps=4)
+    np.testing.assert_array_equal(
+        np.asarray(opt.params["fused(gate+comp)"]["_absent"]), absent0
+    )
+    # ... while trainable leaves did move
+    moved = any(
+        np.abs(np.asarray(v) - comp0[k]).max() > 0
+        for k, v in opt.params["fused(gate+comp)"]["1_comp"].items()
+    )
+    assert moved
+
+
 def test_optimizer_trainable_mask():
     """Type-level freezing: frozen subtrees keep their initial values
     bitwise while trainable ones move (the torch requires_grad=False
