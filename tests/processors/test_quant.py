@@ -6,8 +6,11 @@ through EVERY processor class at several parameter scales and save
 waveforms + L/R/M/S mel-spectrogram-difference grids to ``outputs/``
 for human inspection.  Program material: the reference checkout's seven
 sample WAVs (/root/reference/tests/samples — read at test time only,
-never copied into this repo), plus a synthetic program (chirp + noise
-bursts + tone stack) as the always-available base case.
+never copied into this repo) when that mount exists, otherwise
+deterministic synthesized stand-ins with the same clip names
+(``synth_clips.py`` — the tier is self-contained either way), plus a
+synthetic program (chirp + noise bursts + tone stack) as the
+always-available base case.
 
 A final collection test asserts the produced file list covers every
 (processor x clip x sigma) combination, so gaps in the tier are loud.
@@ -36,16 +39,14 @@ from utils import random_parameters
 
 SR = 44100
 OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "outputs")
-REF_SAMPLES = "/root/reference/tests/samples"
+REF_SAMPLES = os.environ.get(
+    "GRAFX_TPU_QUANT_SAMPLES", "/root/reference/tests/samples"
+)  # point elsewhere (or nowhere) to exercise the synthesized fallback
 CLIPS = ["drums", "bass", "guitar", "guitar2", "singing", "speech", "music"]
 
 
-def _real_sample_names():
-    if not os.path.isdir(REF_SAMPLES):
-        return []
-    return [
-        c for c in CLIPS if os.path.isfile(os.path.join(REF_SAMPLES, f"{c}.wav"))
-    ]
+def _have_real_sample(name):
+    return os.path.isfile(os.path.join(REF_SAMPLES, f"{name}.wav"))
 
 
 def load_real_sample(name, length=2**16):
@@ -242,7 +243,17 @@ PROCESSORS = {
 }
 
 STDS = [0.0, 0.01, 1.0]
-MATERIALS = ["synthetic"] + _real_sample_names()
+MATERIALS = ["synthetic"] + CLIPS
+
+
+def load_material(name, length=2**16):
+    """Real reference WAV when the read-only mount is present, else the
+    deterministic synthesized stand-in of the same name."""
+    if _have_real_sample(name):
+        return load_real_sample(name, length)
+    from synth_clips import synth_clip
+
+    return synth_clip(name, length)
 
 
 def _render(name, x):
@@ -269,7 +280,7 @@ def test_quant_render(name, std, material):
     if material == "synthetic":
         x = jnp.asarray(synthetic_program())[None]
     else:
-        x = jnp.asarray(load_real_sample(material))[None]
+        x = jnp.asarray(load_material(material))[None]
     _render.std = std
     out = _render(name, x)
     assert np.isfinite(out).all()
