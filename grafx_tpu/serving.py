@@ -77,7 +77,8 @@ def export_render(render_fn, example_signals, example_params,
     return bytes(exp.serialize())
 
 
-def export_stream_step(renderer, example_block, platforms=None):
+def export_stream_step(renderer, example_block, platforms=None,
+                       blocks_per_step=1):
     """Serialize a :class:`~grafx_tpu.render.streaming.StreamRenderer`'s
     block step as a portable artifact for real-time serving.
 
@@ -96,6 +97,11 @@ def export_stream_step(renderer, example_block, platforms=None):
         example_block: ``(C, block_len)`` (or batched) array fixing the
             block shape/dtype.
         platforms: optional lowering-platform list.
+        blocks_per_step: serve this many consecutive blocks per call
+            (``StreamRenderer.step_many``): the exported step takes
+            ``(blocks_per_step, *block_shape)`` and returns outputs
+            stacked the same way, amortizing per-dispatch overhead at
+            the cost of ``blocks_per_step`` blocks of latency.
 
     Returns:
         ``bytes`` (pickle of the serialized `jax.export` function plus
@@ -110,8 +116,14 @@ def export_stream_step(renderer, example_block, platforms=None):
     # the artifact boundary (the loaded step keeps string keys).
     state0 = {str(k): v for k, v in renderer.init_state().items()}
 
+    impl = (
+        renderer._step_impl
+        if blocks_per_step == 1
+        else renderer._step_many_impl
+    )
+
     def step(x_block, state):
-        y, new_state = renderer._step_impl(
+        y, new_state = impl(
             x_block,
             {int(k): v for k, v in state.items()},
             renderer._cache_arrays,
@@ -121,9 +133,15 @@ def export_stream_step(renderer, example_block, platforms=None):
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
+    example_in = example_block
+    if blocks_per_step != 1:
+        example_in = jnp.broadcast_to(
+            jnp.asarray(example_block)[None],
+            (blocks_per_step,) + jnp.shape(example_block),
+        )
     shapes = jax.tree.map(
         lambda v: jax.ShapeDtypeStruct(jnp.shape(v), jnp.asarray(v).dtype),
-        (example_block, state0),
+        (example_in, state0),
     )
     exp = jax_export.export(jax.jit(step), **kwargs)(*shapes)
     payload = {

@@ -67,6 +67,71 @@ def test_stream_single_eq():
     _stream_vs_full(G, procs, 1, 8192, 1024)
 
 
+def test_stream_step_many_matches_single_steps():
+    """k blocks per dispatch (``step_many``, the multi-block serving
+    mode that amortizes the per-dispatch tunnel floor) must equal k
+    sequential single-block calls — same scan body, same state carry —
+    and hence the one-shot render too."""
+    procs = {
+        "eq": ParametricEqualizer(num_filters=4, backend="exact"),
+        "compressor": Compressor(energy_smoother="ballistics"),
+        "reverb": STFTMaskedNoiseReverb(ir_len=2000),
+    }
+    G = GRAFX(config=NodeConfigs(sorted(procs)))
+    _, last = G.add_serial_chain(["in", "eq", "compressor"])
+    rev = G.add("reverb")
+    G.connect(last, rev)
+    mix = G.add("mix")
+    G.connect(rev, mix)
+    G.connect(last, mix)
+    G.connect(mix, G.add("out"))
+
+    G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
+    plan = prepare_render(G_t)
+    params = create_empty_parameters(procs, G, key=jax.random.PRNGKey(11))
+    params = jax.tree.map(lambda v: v * 30.0, params)
+
+    L, block, k = 8192, 512, 4
+    x = jax.random.normal(jax.random.PRNGKey(12), (1, 2, L))
+    streamer = StreamRenderer(procs, plan, params, block_len=block)
+
+    # single-block reference walk
+    state = streamer.init_state()
+    singles = []
+    for i in range(L // block):
+        y, state = streamer(x[..., i * block : (i + 1) * block], state)
+        singles.append(np.asarray(y))
+    final_single = state
+
+    # k-block batched walk
+    state = streamer.init_state()
+    many = []
+    for g in range(L // block // k):
+        xb = jnp.stack(
+            [
+                x[..., (g * k + i) * block : (g * k + i + 1) * block]
+                for i in range(k)
+            ]
+        )
+        yb, state = streamer.step_many(xb, state)
+        many.extend(np.asarray(b) for b in yb)
+
+    for i, (a, b) in enumerate(zip(singles, many)):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6, err_msg=f"block {i}")
+    # carried state converges to the same point
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+        ),
+        final_single,
+        state,
+    )
+
+    # wrong trailing block length is rejected
+    with pytest.raises(ValueError):
+        streamer.step_many(x[None, ..., : block - 1], state)
+
+
 def test_stream_console_graph():
     """Mini console: eq -> (geq) -> noisegate -> compressor -> gain ->
     dist chains, bus mix, reverb send, master — every stateful processor

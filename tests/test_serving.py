@@ -124,3 +124,36 @@ def test_export_stream_step_roundtrip():
         y_live, live_state = live(xb, live_state)
         y_exp, state = step(xb, state)
         np.testing.assert_array_equal(np.asarray(y_exp), np.asarray(y_live))
+
+
+def test_export_stream_step_multiblock():
+    """blocks_per_step=k exports the scanned multi-block step: one call
+    == k live single-block calls (same outputs, same carried state)."""
+    from grafx_tpu.render.streaming import StreamRenderer
+    from grafx_tpu.serving import export_stream_step, load_stream_step
+
+    config = NodeConfigs(["eq", "gain"])
+    G = GRAFX(config=config)
+    e = G.add_serial_chain(["in", "eq", "gain"])[1]
+    G.connect(e, G.add("out"))
+    procs = {
+        "eq": ParametricEqualizer(backend="exact"),
+        "gain": StereoGain(),
+    }
+    G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
+    plan = prepare_render(G_t)
+    params = create_empty_parameters(procs, G, key=jax.random.PRNGKey(5))
+    block, k = 1024, 4
+    live = StreamRenderer(procs, plan, params, block_len=block, num_channels=2)
+    x_blocks = jax.random.normal(jax.random.PRNGKey(6), (k, 1, 2, block))
+
+    blob = export_stream_step(live, x_blocks[0], blocks_per_step=k)
+    step, state = load_stream_step(blob)
+    y_many, _ = step(x_blocks, state)
+
+    live_state = live.init_state()
+    for i, xb in enumerate(x_blocks):
+        y_live, live_state = live(xb, live_state)
+        np.testing.assert_allclose(
+            np.asarray(y_many[i]), np.asarray(y_live), rtol=2e-5, atol=2e-6
+        )
