@@ -45,6 +45,8 @@ MODULES = [
     "grafx_tpu.render.prepare",
     "grafx_tpu.render.graph",
     "grafx_tpu.render.core",
+    "grafx_tpu.render.streaming",
+    "grafx_tpu.render.fuse",
     "grafx_tpu.processors.eq",
     "grafx_tpu.processors.filter",
     "grafx_tpu.processors.dynamics",
