@@ -129,16 +129,20 @@ def main():
         "reverb": STFTMaskedNoiseReverb(ir_len=30000),
     }
 
+    # Fusion defaults flipped ON in round 5: the interleaved device-time
+    # matrix (outputs/evidence/ab_matrix/, BASELINE.md r5) measured
+    # default 16.69 / dyn=pad 16.36 / fuse+dyn=pad 15.43 ms device per
+    # step (bit-stable across rounds; wall medians 22.9/22.8/22.8 were
+    # inside ~1.5 ms tunnel noise).  BENCH_FUSE=0 / BENCH_FUSE_DYN=0
+    # recover the unfused arms for A/B.
     fuse_note = ""
     fuse_kinds = []
-    if os.environ.get("BENCH_FUSE", "0") == "1":
-        # A/B knob: fold serial LTI runs (the eq->geq pairs on 9/17
-        # chains) before scheduling; disclosed in the metric string.
-        # Pinned to the r3 families so the arm stays comparable across
-        # rounds; BENCH_FUSE_DYN=1 adds the dynamics family (r4).
+    if os.environ.get("BENCH_FUSE", "1") == "1":
+        # Fold serial LTI runs (the eq->geq pairs on 9/17 chains)
+        # before scheduling; disclosed in the metric string.
         fuse_kinds += ["fir", "iir"]
         fuse_note = ", LTI-fused"
-    dyn_mode = os.environ.get("BENCH_FUSE_DYN", "0")
+    dyn_mode = os.environ.get("BENCH_FUSE_DYN", "pad")
     if dyn_mode != "0":
         # "1": dynamics family under the full-coverage guard (a no-op
         # on this console — only 6/17 chains have a gate).  "pad":

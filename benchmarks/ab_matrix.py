@@ -23,14 +23,16 @@ import subprocess
 import sys
 
 ALL_ARMS = [
+    # since r5 the bench default IS fuse=1 + dyn=pad (adjudicated:
+    # device 15.43 vs 16.69/16.36 ms — see BASELINE.md r5)
     ("default", {}),
     ("powers=doubling", {"GRAFX_TPU_POWERS": "doubling"}),
-    ("toeplitz=reshape", {"GRAFX_TPU_TOEPLITZ_BUILD": "reshape"}),
+    ("toeplitz=gather", {"GRAFX_TPU_TOEPLITZ_BUILD": "gather"}),
     ("cascade=toeplitz", {"GRAFX_TPU_CASCADE_COMPOSE": "toeplitz"}),
-    ("fuse=1", {"BENCH_FUSE": "1"}),
-    # dynamics padding (late r4): all console gate/comp work in ONE
-    # Pallas pair walk, gate-less chains padded with identity gates
-    ("dyn=pad", {"BENCH_FUSE_DYN": "pad"}),
+    # the pre-r5 arms, for continuity with the r4 matrix
+    ("nofuse", {"BENCH_FUSE": "0", "BENCH_FUSE_DYN": "0"}),
+    ("fuse=1", {"BENCH_FUSE": "1", "BENCH_FUSE_DYN": "0"}),
+    ("dyn=pad", {"BENCH_FUSE": "0", "BENCH_FUSE_DYN": "pad"}),
     ("fuse+dyn=pad", {"BENCH_FUSE": "1", "BENCH_FUSE_DYN": "pad"}),
 ]
 ARMS = ALL_ARMS[:5]
