@@ -30,7 +30,8 @@ jax.config.update("jax_platforms", "cpu")
 #     pytest tests/ -m "not slow" -q
 # still imports and exercises every module in a few minutes, while the
 # default (full) run is unchanged.  Regenerate the list with
-#     pytest tests/ -q --durations=0   (mark anything over ~7 s)
+#     pytest tests/ -q --durations=0   (mark anything over ~5 s, keeping
+#     the fastest test of each file in the smoke tier)
 # ---------------------------------------------------------------------------
 
 import pytest  # noqa: E402
