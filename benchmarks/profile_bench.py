@@ -106,7 +106,77 @@ def summarize(log_dir, top=25):
     print(f"\n-- top {top} source lines --")
     for srcline, t in per_src.most_common(top):
         print(f"{t * 1e3:9.2f} ms  {srcline[:110]}")
+    split_build_apply(per_src)
     return per_cat, per_op
+
+
+# Exact-IIR engine: which ops/iir.py functions are parameter-dependent
+# kernel BUILD vs signal-path APPLY (VERDICT r4 #4 — the eq/geq marginal
+# attribution).  Resolved per trace source line via the enclosing def.
+_IIR_BUILD_FNS = {
+    "_compensated_disc", "_cum_powers", "_stage_eigen_kernels",
+    "biquad_exact_build", "_cascade_kernels_doubling", "_tconv",
+    "_causal_toeplitz", "_causal_toeplitz_nd", "_normalize",
+}
+_IIR_APPLY_FNS = {
+    "_biquad_block_stage", "_biquad_block_stage_apply",
+    "biquad_exact", "biquad_exact_apply", "_biquad_block_cascade",
+    "_biquad_block_cascade_apply", "_doubling_flat", "_doubling_apply",
+    "_propagate_states", "_propagate_states_fwd", "_propagate_states_bwd",
+}
+
+
+def _def_index(pyfile):
+    """Sorted (lineno, name) for every top-level/nested def in a file."""
+    import re
+
+    idx = []
+    with open(pyfile) as f:
+        for i, line in enumerate(f, 1):
+            m = re.match(r"\s*def\s+(\w+)", line)
+            if m:
+                idx.append((i, m.group(1)))
+    return idx
+
+
+def split_build_apply(per_src):
+    """Aggregate ops/iir.py device time into kernel-build vs apply, and
+    surface the coefficient-design share (geq.py / eq.py / filter.py)."""
+    import bisect
+
+    cache = {}
+    buckets = collections.Counter()
+    for src, t in per_src.items():
+        if ":" not in src:
+            continue
+        path, _, lineno = src.rpartition(":")
+        try:
+            lineno = int(lineno)
+        except ValueError:
+            continue
+        base = os.path.basename(path)
+        if base == "iir.py" and "ops" in path:
+            if path not in cache:
+                try:
+                    cache[path] = _def_index(path)
+                except OSError:
+                    cache[path] = []
+            idx = cache[path]
+            pos = bisect.bisect_right([l for l, _ in idx], lineno) - 1
+            fn = idx[pos][1] if pos >= 0 else "?"
+            if fn in _IIR_BUILD_FNS:
+                buckets["iir kernel BUILD"] += t
+            elif fn in _IIR_APPLY_FNS:
+                buckets["iir APPLY"] += t
+            else:
+                buckets[f"iir other ({fn})"] += t
+        elif base in ("geq.py", "eq.py", "filter.py", "fuse.py"):
+            buckets[f"coef design ({base})"] += t
+    if not buckets:
+        return
+    print("\n-- exact-IIR build vs apply (device ms across trace) --")
+    for k, t in buckets.most_common():
+        print(f"{t * 1e3:9.2f} ms  {k}")
 
 
 def main_config2():
@@ -192,6 +262,25 @@ def main():
         "dist": TanhDistortion(),
         "reverb": STFTMaskedNoiseReverb(ir_len=30000),
     }
+
+    # Mirror bench.py's r5 fusion defaults (BENCH_FUSE / BENCH_FUSE_DYN)
+    # so the profile reflects the actual headline program.
+    fuse_kinds = []
+    if os.environ.get("BENCH_FUSE", "1") == "1":
+        fuse_kinds += ["fir", "iir"]
+    dyn_mode = os.environ.get("BENCH_FUSE_DYN", "pad")
+    if dyn_mode != "0":
+        fuse_kinds += ["dynamics"]
+    if fuse_kinds:
+        from grafx_tpu.render import fuse_serial_lti
+
+        G, processors = fuse_serial_lti(
+            G,
+            processors,
+            kinds=tuple(fuse_kinds),
+            dynamics_pad=(dyn_mode == "pad"),
+        )
+
     G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")
     plan = prepare_render(G_t)
     params = create_empty_parameters(processors, G, key=jax.random.PRNGKey(0))
