@@ -149,8 +149,14 @@ def main():
         # gate-less chains join the composite type with an absent
         # (identity) gate, so ALL noisegate+compressor work runs as ONE
         # Pallas pair walk per direction (r4).
+        # "auto": like pad, but lone nodes that can't co-schedule with
+        # any genuine pair (the two bus compressors) keep their plain
+        # single-recursion walk instead of the costlier pair walk (r5).
         fuse_kinds += ["dynamics"]
-        fuse_note += ", dyn-fused" if dyn_mode == "1" else ", dyn-padded"
+        fuse_note += {
+            "1": ", dyn-fused", "pad": ", dyn-padded",
+            "auto": ", dyn-padded-auto",
+        }.get(dyn_mode, ", dyn-padded")
     if fuse_kinds:
         from grafx_tpu.render import fuse_serial_lti
 
@@ -158,7 +164,9 @@ def main():
             G,
             processors,
             kinds=tuple(fuse_kinds),
-            dynamics_pad=(dyn_mode == "pad"),
+            dynamics_pad=(
+                "auto" if dyn_mode == "auto" else (dyn_mode == "pad")
+            ),
         )
 
     G_t = reorder_for_fast_render(convert_to_tensor(G), method="beam")

@@ -34,6 +34,8 @@ ALL_ARMS = [
     ("fuse=1", {"BENCH_FUSE": "1", "BENCH_FUSE_DYN": "0"}),
     ("dyn=pad", {"BENCH_FUSE": "0", "BENCH_FUSE_DYN": "pad"}),
     ("fuse+dyn=pad", {"BENCH_FUSE": "1", "BENCH_FUSE_DYN": "pad"}),
+    # r5: pad, but demote pad-only stages (bus comps) to single walks
+    ("dyn=auto", {"BENCH_FUSE": "1", "BENCH_FUSE_DYN": "auto"}),
 ]
 ARMS = ALL_ARMS[:5]
 

@@ -55,6 +55,10 @@ class GraphParameterOptimizer:
             absent with zero-filled rows, and every ``_absent`` mask is
             auto-frozen (see below) so gradient-free optimizer terms
             such as weight decay cannot flip a member present mid-run.
+            ``"pad-auto"`` pads the same way but demotes lone nodes
+            whose composite stage would hold no genuine run back to
+            their plain (cheaper single-walk) type
+            (``dynamics_pad="auto"``).
     """
 
     def __init__(
@@ -75,7 +79,11 @@ class GraphParameterOptimizer:
 
             G_unfused, processors_unfused = G, processors
             G, processors = fuse_serial_lti(
-                G, processors, dynamics_pad=(fuse == "pad")
+                G,
+                processors,
+                dynamics_pad=(
+                    "auto" if fuse == "pad-auto" else (fuse == "pad")
+                ),
             )
         self.G = G
         self.processors = processors

@@ -512,6 +512,7 @@ def fuse_serial_lti(
     kinds=("fir", "iir", "dynamics"),
     dynamics_partial=False,
     dynamics_pad=False,
+    _pad_exclude=frozenset(),
 ):
     """Rewrite ``G``, folding maximal serial runs of same-kind fusable
     nodes.
@@ -544,6 +545,17 @@ def fuse_serial_lti(
             gain is the exact identity), so the whole family still
             collapses into one serial-walk stage.  The coverage guard
             then applies to what padding could not rescue.
+            ``"auto"`` additionally DEMOTES useless padding: after
+            fusing, the fused graph is scheduled and any composite
+            stage consisting ONLY of padded lone nodes (no genuine
+            run — e.g. bus compressors that depend on every source
+            chain and so can never co-schedule with the source pairs)
+            is re-fused with those nodes excluded, since for them the
+            two-recursion pair walk costs strictly more serial time
+            than the plain single-recursion walk and merges nothing.
+        _pad_exclude: internal (used by ``dynamics_pad="auto"``):
+            original-graph node ids never to pad; they keep their
+            plain type and are treated as covered by the guard.
 
     Returns:
         ``(G_fused, processors_fused)`` — a NEW graph over a config
@@ -553,6 +565,25 @@ def fuse_serial_lti(
         identical type-sequences share one composite type (so fused
         nodes still batch across chains).
     """
+    if dynamics_pad == "auto":
+        exclude = frozenset(_pad_exclude)
+        for _ in range(1 + len(G.nodes)):  # fixed point; bounded
+            G2, P2 = fuse_serial_lti(
+                G,
+                processors,
+                min_run=min_run,
+                kinds=kinds,
+                dynamics_partial=dynamics_partial,
+                dynamics_pad=True,
+                _pad_exclude=exclude,
+            )
+            more = _padded_only_stage_nodes(G2)
+            new = exclude | more
+            if new == exclude:
+                return G2, P2
+            exclude = new
+        return G2, P2
+
     # --- find runs ------------------------------------------------------
     def kind_of(node):
         k = _lti_kind(G.nodes[node]["node_type"], processors)
@@ -600,6 +631,7 @@ def fuse_serial_lti(
         for k, run, seq in runs:
             if k == "dynamics" and len(seq) == 2 and seq not in patterns:
                 patterns.append(seq)
+        pad_exempt = set()
         for seq in patterns:
             for pos, t in enumerate(seq):
                 for n in sorted(G.nodes):
@@ -609,10 +641,15 @@ def fuse_serial_lti(
                         or kind_of(n) != "dynamics"
                     ):
                         continue
+                    if n in _pad_exclude:
+                        pad_exempt.add(n)
+                        continue
                     padded = [None, None]
                     padded[pos] = n
                     runs.append(("dynamics", padded, seq))
                     in_run.add(n)
+    else:
+        pad_exempt = set(_pad_exclude)
 
     if not dynamics_partial:
         # Dynamics-coverage guard: fusing SOME of a type's nodes moves
@@ -636,6 +673,12 @@ def fuse_serial_lti(
                     continue
                 t = G.nodes[n]["node_type"]
                 covered[t] = covered.get(t, 0) + 1
+        # pad-exempt nodes (dynamics_pad="auto") are scheduling-proven
+        # unable to merge with any fused stage: their plain-type stage
+        # exists either way, so they don't split anything — covered.
+        for n in pad_exempt:
+            t = G.nodes[n]["node_type"]
+            covered[t] = covered.get(t, 0) + 1
         kept = []
         for k, run, seq in runs:
             if k == "dynamics" and any(
@@ -710,6 +753,39 @@ def fuse_serial_lti(
     G2.graph["fused_from"] = fused_from
 
     return G2, processors_fused
+
+
+def _padded_only_stage_nodes(G_fused, method="beam", **order_kwargs):
+    """Original-graph node ids whose padded composite stage holds NO
+    genuine run (``dynamics_pad="auto"`` demotion criterion).
+
+    Schedules ``G_fused`` and inspects every scheduled stage of a
+    composite dynamics type: if every node in a stage is a padded lone
+    (its ``fused_from`` entry carries a ``None`` member), the pair walk
+    there merges nothing — it only replaces the member's cheaper
+    single-recursion walk — so those nodes should stay plain.  A stage
+    with at least one genuine run keeps its padded peers (they merged
+    into that walk).
+    """
+    from grafx_tpu.render.order.graph import compute_render_order
+
+    fused_from = G_fused.graph.get("fused_from", {})
+    _, render_order = compute_render_order(
+        G_fused, method=method, **order_kwargs
+    )
+    nodes = sorted(G_fused.nodes)
+    stages = {}
+    for n, order in zip(nodes, render_order):
+        t = G_fused.nodes[n]["node_type"]
+        if t.startswith("fused("):
+            stages.setdefault((int(order), t), []).append(n)
+    demote = set()
+    for (_order, _t), members in stages.items():
+        srcs = [fused_from.get(m, [m]) for m in members]
+        if all(any(s is None for s in src) for src in srcs):
+            for src in srcs:
+                demote.update(s for s in src if s is not None)
+    return demote
 
 
 def _scheduled_type_rows(G, method, **order_kwargs):

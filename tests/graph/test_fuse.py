@@ -871,3 +871,60 @@ def test_fuse_dynamics_pad_streaming_matches():
     streamed = np.concatenate(outs, axis=-1)
     err = np.abs(streamed - full).max() / (np.abs(full).max() + 1e-9)
     assert err < 1e-5, err
+
+
+def test_fuse_dynamics_pad_auto_demotes_unmergeable_lones():
+    """dynamics_pad="auto": a lone dynamics node that can never
+    co-schedule with a genuine run (here a bus compressor downstream of
+    the mix of every chain) stays its PLAIN type — padding it would
+    swap its single-recursion walk for the costlier pair walk without
+    merging any stage — while co-schedulable lone nodes are still
+    padded, and parity vs the per-node render holds."""
+    from grafx_tpu.processors import NoiseGate
+    from grafx_tpu.render import fuse_parameters, fuse_serial_lti
+
+    procs = {
+        "gate": NoiseGate(energy_smoother="iir_exact"),
+        "comp": Compressor(energy_smoother="ballistics"),
+    }
+    G = GRAFX(config=NodeConfigs(sorted(procs)))
+    ends = []
+    for _ in range(2):
+        ends.append(G.add_serial_chain(["in", "gate", "comp"])[1])
+    ends.append(G.add_serial_chain(["in", "comp"])[1])  # padable lone
+    mix = G.add("mix")
+    [G.connect(e, mix) for e in ends]
+    bus_comp = G.add("comp")  # unmergeable lone: depends on every chain
+    G.connect(mix, bus_comp)
+    G.connect(bus_comp, G.add("out"))
+
+    G2, procs2 = fuse_serial_lti(G, procs, dynamics_pad="auto")
+    from collections import Counter
+
+    c = Counter(G2.nodes[n]["node_type"] for n in G2.nodes)
+    assert c["fused(gate+comp)"] == 3  # 2 genuine + 1 padded lone
+    assert c["comp"] == 1  # the bus compressor, demoted
+    assert "gate" not in c
+
+    params = create_empty_parameters(procs, G, key=jax.random.PRNGKey(21))
+    params["gate"]["log_threshold"] = params["gate"]["log_threshold"] - 2.0
+    x = jax.random.normal(jax.random.PRNGKey(22), (3, 2, 2**12))
+    y_ref, _ = _render(G, procs, params, x)
+    fused_params = fuse_parameters(params, G, G2, procs2, method="beam")
+    absent = np.asarray(fused_params["fused(gate+comp)"]["_absent"])
+    assert absent[:, 0].sum() == 1 and absent[:, 1].sum() == 0
+    y_fused, _ = _render(G2, procs2, fused_params, x)
+    scale = np.abs(y_ref).max() + 1e-9
+    assert np.abs(y_fused - y_ref).max() / scale < 1e-5
+
+
+def test_fuse_dynamics_pad_auto_equals_pad_when_all_mergeable():
+    """With every lone node co-schedulable (flat parallel chains),
+    "auto" demotes nothing and produces the same rewrite as pad=True."""
+    from grafx_tpu.render import fuse_serial_lti
+
+    G, procs = _padded_dyn_graph()
+    G_pad, _ = fuse_serial_lti(G, procs, dynamics_pad=True)
+    G_auto, _ = fuse_serial_lti(G, procs, dynamics_pad="auto")
+    types = lambda g: sorted(g.nodes[n]["node_type"] for n in g.nodes)
+    assert types(G_pad) == types(G_auto)
