@@ -39,7 +39,7 @@ def capture(step_fn, params, steps=3, log_dir=None):
 
 
 CATEGORIES = (
-    ("ballistics-kernel", ("_kernel", "_bwd_kernel", "pallas")),
+    ("ballistics-kernel", ("ballistics", "_kernel", "_bwd_kernel", "pallas")),
     ("fft", ("fft",)),
     ("einsum/matmul", ("dot", "einsum", "conv")),
     ("data-movement", ("copy", "pad", "slice", "transpose", "concatenate",

@@ -210,6 +210,7 @@ def reverse_scan_pallas_tm(a_t, g_t, chunk: int = 2048, interpret: bool = False)
     )
     return pl.pallas_call(
         functools.partial(_bwd_kernel, chunk=chunk),
+        name="ballistics_reverse_scan",
         grid=grid,
         in_specs=[spec, spec],
         out_specs=spec,
@@ -286,6 +287,7 @@ def forward_pallas_tm(ut, zi2, at2, rt2, chunk: int = 2048, interpret: bool = Fa
     )
     return pl.pallas_call(
         functools.partial(_kernel, chunk=chunk),
+        name="ballistics_forward",
         grid=grid,
         in_specs=[lane_spec, lane_spec, lane_spec, data_spec],
         out_specs=data_spec,
@@ -312,6 +314,7 @@ def forward_pallas_tm_d(ut, zi2, at2, rt2, chunk: int = 2048, interpret: bool = 
     )
     return pl.pallas_call(
         functools.partial(_fwd_d_kernel, chunk=chunk),
+        name="ballistics_forward_d",
         grid=grid,
         in_specs=[lane_spec, lane_spec, lane_spec, data_spec],
         out_specs=(data_spec, data_spec),
@@ -351,6 +354,7 @@ def backward_fused_pallas_tm(dt, gt, at2, rt2, chunk: int = 2048, interpret: boo
     )
     return pl.pallas_call(
         functools.partial(_bwd_fused_kernel, chunk=chunk),
+        name="ballistics_backward_fused",
         grid=grid,
         in_specs=[lane_spec, lane_spec, rev_spec, rev_spec],
         out_specs=(rev_spec, lane_spec, lane_spec, lane_spec),
@@ -626,6 +630,7 @@ def forward_gain_only_pallas_tm(
     )
     return pl.pallas_call(
         functools.partial(_fwd_gain_only_kernel, chunk=chunk, kind=kind),
+        name="ballistics_gain_only_fwd",
         grid=grid,
         in_specs=[lane_spec] * 6 + [data_spec],
         out_specs=data_spec,
@@ -656,6 +661,7 @@ def forward_gain_pallas_tm(
     )
     return pl.pallas_call(
         functools.partial(_fwd_gain_kernel, chunk=chunk, kind=kind),
+        name="ballistics_gain_fwd",
         grid=grid,
         in_specs=[lane_spec] * 6 + [data_spec],
         out_specs=(data_spec, data_spec, lane_spec),
@@ -690,6 +696,7 @@ def backward_gain_pallas_tm(
     small = jax.ShapeDtypeStruct((S * 8, LANES), dt.dtype)
     return pl.pallas_call(
         functools.partial(_bwd_gain_kernel, chunk=chunk, kind=kind),
+        name="ballistics_gain_bwd",
         grid=grid,
         in_specs=[lane_spec] * 6 + [rev_spec] * 3,
         out_specs=(rev_spec,) + (lane_spec,) * 6,
@@ -1066,6 +1073,7 @@ def forward_gain_pair_pallas_tm(
             functools.partial(
                 _fwd_gain_pair_kernel, chunk=chunk, kinds=kinds, inits=inits
             ),
+            name="ballistics_gain_pair_fwd",
             grid=grid,
             in_specs=[lane_spec] * 10 + [data_spec],
             out_specs=(data_spec, data_spec, data_spec, lane_spec, lane_spec),
@@ -1077,6 +1085,7 @@ def forward_gain_pair_pallas_tm(
         functools.partial(
             _fwd_gain_pair_only_kernel, chunk=chunk, kinds=kinds, inits=inits
         ),
+        name="ballistics_gain_pair_fwd_nores",
         grid=grid,
         in_specs=[lane_spec] * 10 + [data_spec],
         out_specs=data_spec,
@@ -1108,6 +1117,7 @@ def backward_gain_pair_pallas_tm(
     small = jax.ShapeDtypeStruct((S * 8, LANES), da_t.dtype)
     return pl.pallas_call(
         functools.partial(_bwd_gain_pair_kernel, chunk=chunk, kinds=kinds),
+        name="ballistics_gain_pair_bwd",
         grid=grid,
         in_specs=[lane_spec] * 12 + [rev_spec] * 4,
         out_specs=(rev_spec,) + (lane_spec,) * 10,
