@@ -1,17 +1,15 @@
-"""Batch sweep of the headline bench under the interleaved protocol.
+"""Round-5 batch sweep at the current (fuse+dyn=pad) kernels — VERDICT r4 #6.
 
-Re-points the graph-batch sweep at the current kernels (VERDICT r4 #6):
-runs ``BENCH_BATCH=N python bench.py`` for each batch in the sweep,
-interleaved across rounds so tunnel drift cannot bias one batch, and
-reports per-batch wall medians (with spread) plus the drift-immune
-device time (bit-stable across runs — BASELINE.md r5).
+Runs ``BENCH_BATCH=N bench.py`` for each batch in PASSES interleaved
+passes (batch order repeats each pass) so tunnel drift cannot bias one
+point, and reports wall medians AND the bit-stable device ms/step —
+the r5 decision metric.  Batch sizes past 12 go through bench.py's AOT
+compile path automatically (the eager example-buffer payload trips the
+tunnel's HTTP 413 cap — see BASELINE.md "Batch-16 root cause").
 
-Usage:  python benchmarks/batch_sweep.py [rounds] [batch ...]
-        (default 2 rounds over 1 2 4 8 12 16; batch >12 uses the AOT
-        compile path automatically — bench.py BENCH_AOT default)
-
-One TPU process at a time: batches run sequentially.  Raw JSON lines go
-to outputs/evidence/batch_sweep/b<N>_r<round>.json (tracked).
+Usage:  python benchmarks/batch_sweep.py [passes] [batch ...]
+Output: markdown table on stdout + raw bench JSON lines to
+outputs/evidence/r5b/batch<N>_p<P>.json (tracked decision evidence).
 """
 
 import json
@@ -19,21 +17,18 @@ import os
 import subprocess
 import sys
 
-DEFAULT_BATCHES = (1, 2, 4, 8, 12, 16)
+BATCHES = [1, 2, 4, 8, 12, 16]
 
 
 def main():
-    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    batches = (
-        tuple(int(a) for a in sys.argv[2:]) if len(sys.argv) > 2
-        else DEFAULT_BATCHES
-    )
+    passes = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    batches = [int(b) for b in sys.argv[2:]] or BATCHES
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    outdir = os.path.join(repo, "outputs", "evidence", "batch_sweep")
+    outdir = os.path.join(repo, "outputs", "evidence", "r5b")
     os.makedirs(outdir, exist_ok=True)
 
     results = {b: [] for b in batches}
-    for r in range(rounds):
+    for p in range(passes):
         for b in batches:
             env = dict(os.environ)
             env["BENCH_BATCH"] = str(b)
@@ -43,19 +38,19 @@ def main():
                 env=env,
                 capture_output=True,
                 text=True,
-                timeout=3600,
+                timeout=2400,
             )
             line = None
             for ln in proc.stdout.splitlines():
                 ln = ln.strip()
                 if ln.startswith("{"):
                     line = ln
-            with open(os.path.join(outdir, f"b{b}_r{r}.json"), "w") as f:
+            with open(os.path.join(outdir, f"batch{b}_p{p}.json"), "w") as f:
                 f.write((line or "") + "\n")
                 if proc.returncode != 0:
                     f.write(proc.stderr[-2000:])
             if line is None:
-                print(f"[round {r}] batch {b}: FAILED (rc={proc.returncode})",
+                print(f"[pass {p}] batch {b}: FAILED (rc={proc.returncode})",
                       flush=True)
                 print(proc.stderr[-500:], flush=True)
                 continue
@@ -63,32 +58,31 @@ def main():
             results[b].append(d)
             dev = d.get("device_ms_per_step")
             print(
-                f"[round {r}] batch {b}: median {d['step_ms_median']} ms "
+                f"[pass {p}] batch {b}: median {d['step_ms_median']} ms "
                 f"[{d['step_ms_min']}, {d['step_ms_max']}]"
                 + (f", device {dev} ms" if dev is not None else ""),
                 flush=True,
             )
 
-    print("\n| batch | wall median (runs, ms) | wall ms/graph | device ms"
-          " (runs) | device ms/graph | a-s/s (best run) |")
-    print("|---|---|---|---|---|---|")
+    print("\n| batch | wall median (runs, ms) | device ms/step (runs) "
+          "| device ms/graph | a-s/s (best run) |")
+    print("|---|---|---|---|---|")
     for b in batches:
         rs = results[b]
         if not rs:
-            print(f"| {b} | FAILED | | | | |")
+            print(f"| {b} | FAILED | | | |")
             continue
-        meds = sorted(d["step_ms_median"] for d in rs)
-        mid = meds[len(meds) // 2]
+        walls = sorted(d["step_ms_median"] for d in rs)
         devs = sorted(
             d["device_ms_per_step"] for d in rs
             if d.get("device_ms_per_step") is not None
         )
         dev_s = ", ".join(f"{d:.2f}" for d in devs) if devs else "-"
-        dev_pg = f"{devs[0] / b:.2f}" if devs else "-"
+        dev_pg = f"{devs[len(devs) // 2] / b:.2f}" if devs else "-"
         best_v = max(d["value"] for d in rs)
         print(
-            f"| {b} | {', '.join(f'{m:.1f}' for m in meds)} "
-            f"| {mid / b:.2f} | {dev_s} | {dev_pg} | {best_v:.0f} |"
+            f"| {b} | {', '.join(f'{w:.1f}' for w in walls)} | {dev_s} "
+            f"| {dev_pg} | {best_v:.0f} |"
         )
 
 

@@ -80,6 +80,8 @@ def summarize(log_dir, top=25):
     per_op = collections.Counter()
     per_cat = collections.Counter()
     per_src = collections.Counter()
+    dm_op = collections.Counter()   # data-movement ops, keyed (name, src)
+    dm_src = collections.Counter()  # data-movement time per source line
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in ops_lanes:
@@ -91,8 +93,13 @@ def summarize(log_dir, top=25):
             continue
         dur = float(e["args"]["device_duration_ps"]) / 1e12  # ps -> s
         per_op[name] += dur
-        per_cat[categorize(name)] += dur
-        per_src[e["args"].get("source", "?")] += dur
+        cat = categorize(name)
+        per_cat[cat] += dur
+        src = e["args"].get("source", "?")
+        per_src[src] += dur
+        if cat == "data-movement":
+            dm_op[(name, src)] += dur
+            dm_src[src] += dur
         total += dur
 
     print(f"trace: {path}")
@@ -106,6 +113,13 @@ def summarize(log_dir, top=25):
     print(f"\n-- top {top} source lines --")
     for srcline, t in per_src.most_common(top):
         print(f"{t * 1e3:9.2f} ms  {srcline[:110]}")
+    if os.environ.get("PROFILE_DM_DETAIL", "1") == "1":
+        print(f"\n-- data movement: top {top + 15} ops (with source) --")
+        for (name, src), t in dm_op.most_common(top + 15):
+            print(f"{t * 1e3:9.2f} ms  {name[:60]:60s}  {src[-60:]}")
+        print(f"\n-- data movement: by source line --")
+        for src, t in dm_src.most_common(top):
+            print(f"{t * 1e3:9.2f} ms  {src[:110]}")
     split_build_apply(per_src)
     return per_cat, per_op
 
