@@ -133,8 +133,12 @@ def main():
     # matrix (outputs/evidence/ab_matrix/, BASELINE.md r5) measured
     # default 16.69 / dyn=pad 16.36 / fuse+dyn=pad 15.43 ms device per
     # step (bit-stable across rounds; wall medians 22.9/22.8/22.8 were
-    # inside ~1.5 ms tunnel noise).  BENCH_FUSE=0 / BENCH_FUSE_DYN=0
-    # recover the unfused arms for A/B.
+    # inside ~1.5 ms tunnel noise).  dyn default moved pad -> "auto"
+    # later in r5: demoting the two bus compressors (which never
+    # co-schedule with a genuine gate->comp pair) back to single walks
+    # measured device 14.66 vs pad 15.43 ms/step same-day
+    # (outputs/evidence/r5b/bench_dyn_auto.log).  BENCH_FUSE=0 /
+    # BENCH_FUSE_DYN=0/pad recover the other arms for A/B.
     fuse_note = ""
     fuse_kinds = []
     if os.environ.get("BENCH_FUSE", "1") == "1":
@@ -142,7 +146,7 @@ def main():
         # before scheduling; disclosed in the metric string.
         fuse_kinds += ["fir", "iir"]
         fuse_note = ", LTI-fused"
-    dyn_mode = os.environ.get("BENCH_FUSE_DYN", "pad")
+    dyn_mode = os.environ.get("BENCH_FUSE_DYN", "auto")
     if dyn_mode != "0":
         # "1": dynamics family under the full-coverage guard (a no-op
         # on this console — only 6/17 chains have a gate).  "pad":
