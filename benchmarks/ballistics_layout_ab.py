@@ -71,7 +71,7 @@ def _kernel_nat(zi_ref, at_ref, rt_ref, u_ref, y_ref, state, *, chunk):
 def forward_pallas_natural(u_nat, zi2, at2, rt2, chunk=2048):
     """u_nat: (Np, Lp) natural layout, padded."""
     Np, Lp = u_nat.shape
-    S = Np // LANES
+    S = -(-Np // LANES)
     grid = (S, Lp // chunk)
     lane_spec = pl.BlockSpec((8, LANES), lambda s, i: (s, 0),
                              memory_space=pltpu.VMEM)

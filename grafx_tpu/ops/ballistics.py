@@ -149,7 +149,7 @@ def _ballistics_bwd_pallas(res, g):
     dt, at, rt = res
     N, L = g.shape
     Lp, Np = dt.shape
-    S = Np // LANES
+    S = -(-Np // LANES)
     gt = pad_time_major(g)
 
     du_t, dat2, drt2, dzi2 = backward_fused_pallas_tm(
@@ -260,7 +260,7 @@ def _gain_bwd(kind, res, g):
     dt, ut, ylast, at, rt, th, cf, hk = res
     N, L = g.shape
     Lp, Np = dt.shape
-    S = Np // LANES
+    S = -(-Np // LANES)
     ggt = pad_time_major(g)
     du_t, dat2, drt2, dzi2, dth2, dcf2, dhk2 = backward_gain_pallas_tm(
         dt, ut, ylast, ggt,

@@ -18,6 +18,7 @@ parallel associative scan in plain JAX (see grafx_tpu/ops/ballistics.py).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +27,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 TILE = 32
+# r4 layout: explicitly zero-pad the lane dim to a 128 multiple around
+# every kernel call (see pad_time_major for why the default is now off).
+LANE_PAD = os.environ.get("GRAFX_TPU_BALLISTICS_LANE_PAD", "0") == "1"
 
 
 def _kernel(zi_ref, at_ref, rt_ref, u_ref, y_ref, state, *, chunk):
@@ -201,7 +205,7 @@ def reverse_scan_pallas_tm(a_t, g_t, chunk: int = 2048, interpret: bool = False)
     so the state entering the real tail is exactly 0.
     """
     Lp, Np = a_t.shape
-    S = Np // LANES
+    S = -(-Np // LANES)
     grid = (S, Lp // chunk)
     spec = pl.BlockSpec(
         (chunk, LANES),
@@ -230,27 +234,34 @@ def reverse_scan_pallas(a, g, chunk: int = 2048):
         a, g: ``(N, L)``.
     """
     N, L = a.shape
-    S = -(-N // LANES)
-    Np = S * LANES
-    Lp = -(-L // chunk) * chunk
-
-    # pad at the END with a = 0, g = 0: the reverse walk crosses the pad
-    # first and enters the real tail with state exactly 0
-    at_ = jnp.pad(a.T, ((0, Lp - L), (0, Np - N)))
-    gt_ = jnp.pad(g.T, ((0, Lp - L), (0, Np - N)))
+    # pad time at the END with a = 0, g = 0: the reverse walk crosses
+    # the pad first and enters the real tail with state exactly 0
+    at_ = pad_time_major(a, chunk)
+    gt_ = pad_time_major(g, chunk)
     gh = reverse_scan_pallas_tm(at_, gt_, chunk=chunk)
     return gh[:L, :N].T
 
 
 def pad_time_major(x, chunk: int = 2048):
-    """``(N, L)`` -> end-padded time-major ``(Lp, Np)`` kernel layout.
+    """``(N, L)`` -> end-time-padded time-major ``(Lp, N)`` kernel layout.
 
     One ``jnp.pad`` of the transpose (a single full-size write) instead
-    of a zeros-init + update-slice (which writes the buffer twice)."""
+    of a zeros-init + update-slice (which writes the buffer twice).
+
+    Lanes are left UNPADDED by default (round 5): Mosaic masks the lane
+    edge of each ``(chunk, 128)`` block, and the physical ``(8, 128)``-
+    tiled buffer is lane-padded by XLA anyway, so an explicit ``jnp.pad``
+    to a 128 multiple only adds a full extra HBM pass per kernel
+    boundary (the pad/slice ops measured ~1.2 ms/step combined on the
+    headline console, outputs/evidence/r5b/profile_dm_detail.log).
+    Garbage in the masked lanes stays lane-isolated (every kernel is
+    elementwise across lanes) and callers' ``[:L, :N]`` slices become
+    no-ops.  ``GRAFX_TPU_BALLISTICS_LANE_PAD=1`` restores the padded
+    (r4) layout for A/B.
+    """
     N, L = x.shape
-    S = -(-N // LANES)
-    Np = S * LANES
     Lp = -(-L // chunk) * chunk
+    Np = (-(-N // LANES) * LANES) if LANE_PAD else N
     return jnp.pad(x.T, ((0, Lp - L), (0, Np - N)))
 
 
@@ -277,7 +288,7 @@ def forward_pallas_tm(ut, zi2, at2, rt2, chunk: int = 2048, interpret: bool = Fa
         ``(Lp, Np)`` smoothed outputs (same layout).
     """
     Lp, Np = ut.shape
-    S = Np // LANES
+    S = -(-Np // LANES)
     grid = (S, Lp // chunk)
     lane_spec = pl.BlockSpec(
         (8, LANES), lambda s, i: (s, 0), memory_space=pltpu.VMEM
@@ -304,7 +315,7 @@ def forward_pallas_tm_d(ut, zi2, at2, rt2, chunk: int = 2048, interpret: bool = 
     the backward weighs them by ``gh = 0`` there.
     """
     Lp, Np = ut.shape
-    S = Np // LANES
+    S = -(-Np // LANES)
     grid = (S, Lp // chunk)
     lane_spec = pl.BlockSpec(
         (8, LANES), lambda s, i: (s, 0), memory_space=pltpu.VMEM
@@ -342,7 +353,7 @@ def backward_fused_pallas_tm(dt, gt, at2, rt2, chunk: int = 2048, interpret: boo
         lane group are broadcast copies; take row ``::8``).
     """
     Lp, Np = dt.shape
-    S = Np // LANES
+    S = -(-Np // LANES)
     grid = (S, Lp // chunk)
     rev_spec = pl.BlockSpec(
         (chunk, LANES),
@@ -620,7 +631,7 @@ def forward_gain_only_pallas_tm(
     """Fused smoother + knee gain forward, gain output only (the no-grad
     primal path)."""
     Lp, Np = ut.shape
-    S = Np // LANES
+    S = -(-Np // LANES)
     grid = (S, Lp // chunk)
     lane_spec = pl.BlockSpec(
         (8, LANES), lambda s, i: (s, 0), memory_space=pltpu.VMEM
@@ -651,7 +662,7 @@ def forward_gain_pallas_tm(
     reconstructed there from ``u - d``).
     """
     Lp, Np = ut.shape
-    S = Np // LANES
+    S = -(-Np // LANES)
     grid = (S, Lp // chunk)
     lane_spec = pl.BlockSpec(
         (8, LANES), lambda s, i: (s, 0), memory_space=pltpu.VMEM
@@ -683,7 +694,7 @@ def backward_gain_pallas_tm(
     with the small outputs ``(8*S, LANES)`` broadcast rows (take
     ``[::8]``)."""
     Lp, Np = dt.shape
-    S = Np // LANES
+    S = -(-Np // LANES)
     grid = (S, Lp // chunk)
     rev_spec = pl.BlockSpec(
         (chunk, LANES),
@@ -1058,7 +1069,7 @@ def forward_gain_pair_pallas_tm(
     envelope (1.0 ballistics, 0.0 exact one-pole).  Returns ``gain_t``
     alone, or ``(gain_t, d_a, d_b, v_last, u_last)`` with residuals."""
     Lp, Np = ut.shape
-    S = Np // LANES
+    S = -(-Np // LANES)
     grid = (S, Lp // chunk)
     lane_spec = pl.BlockSpec(
         (8, LANES), lambda s, i: (s, 0), memory_space=pltpu.VMEM
@@ -1104,7 +1115,7 @@ def backward_gain_pair_pallas_tm(
     dat_a, drt_a, dth_a, dcf_a, dhk_a, dat_b, drt_b, dth_b, dcf_b,
     dhk_b)`` (take ``[::8]`` of the small outputs)."""
     Lp, Np = da_t.shape
-    S = Np // LANES
+    S = -(-Np // LANES)
     grid = (S, Lp // chunk)
     rev_spec = pl.BlockSpec(
         (chunk, LANES),

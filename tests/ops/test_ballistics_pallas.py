@@ -71,7 +71,7 @@ def test_fused_backward_matches_reference_math():
     g = jnp.asarray(rng.randn(N, L).astype(np.float32))
 
     yt, dt = _run_fwd(u, zi, at, rt)
-    S = dt.shape[1] // LANES
+    S = -(-dt.shape[1] // LANES)
     gt = pad_time_major(g, CHUNK)
     du_t, dat2, drt2, dzi2 = backward_fused_pallas_tm(
         dt, gt, expand_lanes(at, S), expand_lanes(rt, S),
