@@ -235,19 +235,24 @@ def _compensated_disc(a1, a2):
     return (p - 4.0 * a2) + err
 
 
-# On-chip A/B (r3, outputs/postoutage): scan 17.9 ms vs doubling 19.4 ms
-# at the batch-4 headline — the scan form wins on TPU despite its larger
-# HLO op count, so it is the default; doubling stays for CPU-side study.
-_POWERS_BUILD = _os.environ.get("GRAFX_TPU_POWERS", "scan")
+# A/B history: the r3 single-run wall reads (scan 17.9 vs doubling 19.4)
+# and the r4 interleaved wall matrix ("neutral") could not resolve this
+# arm inside tunnel noise.  The r5 bit-stable DEVICE metric does:
+# doubling 13.28 vs scan 13.66 ms/step at the lane-unpad headline
+# (outputs/evidence/r5b/bench_powers_doubling.log vs bench_laneunpad.log,
+# same session) — doubling-by-concatenation is now the default;
+# GRAFX_TPU_POWERS=scan restores the associative-scan build.
+_POWERS_BUILD = _os.environ.get("GRAFX_TPU_POWERS", "doubling")
 
 
 def _cum_powers(re0, im0, T):
     """Complex cumulative powers ``l^n`` for ``n = 1..T`` of per-row
     eigenvalues ``l = re0 + i im0`` -> ``(re, im)`` arrays ``(M, T)``.
 
-    Default is the ``associative_scan`` build (measured faster on TPU —
-    see the A/B note at ``_POWERS_BUILD``).  The alternative
-    ``GRAFX_TPU_POWERS=doubling`` is doubling-by-concatenation: the
+    Default is doubling-by-concatenation (measured faster on the
+    device metric — see the A/B note at ``_POWERS_BUILD``;
+    ``GRAFX_TPU_POWERS=scan`` restores the ``associative_scan``
+    build): the
     length-``2^k`` prefix times its own last element appends the next
     ``2^k`` powers, so the whole sequence is ``ceil(log2 T)`` broadcast
     complex multiplies + concats.  Both are one product ``l^a * l^b``
