@@ -1,10 +1,10 @@
-"""The five BASELINE.md benchmark configurations.
+"""The six BASELINE.md benchmark configurations.
 
 Each config builds a graph + processors, renders with a real optimizer
 loop (inputs change every step — see MEMORY: the tunneled runtime caches
 repeated identical calls), and reports audio-sec/sec/chip.
 
-Run:  python benchmarks/configs.py [1-5|all]
+Run:  python benchmarks/configs.py [1-6|all]
 """
 
 import json
